@@ -1,0 +1,17 @@
+from webgraph_rs_spark.algorithms.pagerank import pagerank  # noqa: F401
+from webgraph_rs_spark.algorithms.components import (  # noqa: F401
+    connected_components,
+    cc_star,
+    component_sizes,
+    renumber_by_size,
+)
+from webgraph_rs_spark.algorithms.labelprop import label_propagation  # noqa: F401
+from webgraph_rs_spark.algorithms.triangles import (  # noqa: F401
+    triangle_count,
+    triangles_per_vertex,
+)
+from webgraph_rs_spark.algorithms.bfs import bfs_distances, bfs_order  # noqa: F401
+from webgraph_rs_spark.algorithms.topsort import (  # noqa: F401
+    topological_levels,
+    is_acyclic,
+)

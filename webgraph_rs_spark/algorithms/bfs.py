@@ -1,0 +1,103 @@
+"""Breadth-first visits as level-synchronous frontier joins.
+
+The reference's parallel BFS (``webgraph/src/visits/breadth_first/par_fair.rs``)
+is level-synchronous — Spark's BSP execution model *is* that model. The
+frontier expansion is ``frontier ⋈ edges`` (broadcast the frontier while it
+is small — the north rule's "broadcast of small frontier deltas"), and the
+visited-set subtraction is a left-anti join against the distance table.
+
+DFS (``visits/depth_first``) is inherently sequential and deliberately has
+no analogue here (SURVEY.md §2.6); DFS-based algorithms are re-derived
+iteratively (see topsort.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from webgraph_rs_spark.graph import LinkGraph
+
+# frontiers below this row count are broadcast to skip the shuffle join
+BROADCAST_FRONTIER_MAX = 1_000_000
+
+
+@dataclass
+class BFSResult:
+    distances: DataFrame  # (id long, distance long) — reached nodes only
+    rounds: int
+
+
+def bfs_distances(
+    g: LinkGraph,
+    roots: list[int] | DataFrame,
+    max_depth: int | None = None,
+) -> BFSResult:
+    """Multi-source BFS distances over the directed graph.
+
+    Per level: expand frontier through edges, drop already-visited nodes
+    (anti-join), append to the distance table. Frontier size is tracked on
+    the driver (an action per level — same as the reference's per-level
+    ``FrontierSize`` event) to decide broadcast vs shuffle expansion.
+    """
+    spark = g.edges.sparkSession
+    if isinstance(roots, DataFrame):
+        frontier = roots.select(F.col("id").cast("long"))
+    else:
+        frontier = spark.createDataFrame([(int(r),) for r in roots], "id long")
+    edges = g.edges.repartition("src").persist()
+    edges.count()
+
+    # localCheckpoint (not persist) per level: the frontier/visited recursion
+    # otherwise re-expands the whole logical-plan tree every level —
+    # exponential analysis cost (visited_k and frontier_k both reference
+    # frontier_{k-1}). Truncating lineage each level keeps plans O(1).
+    visited = frontier.withColumn("distance", F.lit(0).cast("long")).localCheckpoint()
+    frontier = frontier.localCheckpoint()
+    n_frontier = frontier.count()
+    depth = 0
+    while n_frontier > 0 and (max_depth is None or depth < max_depth):
+        f = (
+            F.broadcast(frontier)
+            if n_frontier <= BROADCAST_FRONTIER_MAX
+            else frontier
+        )
+        nxt = (
+            edges.join(f.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        ).localCheckpoint()
+        depth += 1
+        n_frontier = nxt.count()
+        if n_frontier > 0:
+            visited = visited.unionByName(
+                nxt.withColumn("distance", F.lit(depth).cast("long"))
+            ).localCheckpoint()
+        frontier = nxt
+    edges.unpersist()
+    return BFSResult(visited, depth)
+
+
+def bfs_order(g: LinkGraph, roots: list[int]) -> DataFrame:
+    """BFS visit order as a permutation (old_id, new_id).
+
+    Reference: ``perm bfs`` (``cli/src/perm/bfs.rs:18-78``). Within a level
+    the reference's visit order is adjacency order; here ties inside a level
+    break by node id (deterministic), then unreached nodes follow in id
+    order — a valid BFS layout permutation for locality-improving relabels.
+    """
+    res = bfs_distances(g, roots)
+    reached = res.distances
+    unreached = g.vertices.join(reached.select("id"), "id", "left_anti").withColumn(
+        "distance", F.lit(None).cast("long")
+    )
+    allv = reached.unionByName(unreached)
+    w = W.orderBy(F.col("distance").asc_nulls_last(), F.col("id").asc())
+    return allv.select(
+        F.col("id").alias("old_id"),
+        (F.row_number().over(w).cast("long") - 1).alias("new_id"),
+    )

@@ -1,0 +1,231 @@
+"""PageRank as an iterative DataFrame job (power iteration).
+
+Semantics follow the reference (``algo/src/rank/pagerank.rs:7-143``):
+
+- damping ``alpha`` in [0, 1), default 0.85;
+- a *preference vector* ``v`` (default uniform 1/n), and three dangling-mass
+  modes (``pagerank.rs:100-143``):
+  ``strongly`` preferential — dangling mass redistributed by ``v`` (u = v),
+  ``weakly``  preferential — redistributed uniformly (u = 1/n),
+  ``pseudo``  rank         — dropped (u = 0, ranks sum to < 1);
+- update rule: ``x' = (1 - alpha) * v + alpha * (x^T A_norm + d * u)`` with
+  ``d = sum of x over dangling nodes`` — the closed-form dangling term
+  (``pagerank.rs:84-99``), one scalar aggregate instead of a per-node loop;
+- stop when ``alpha / (1 - alpha) * ||x' - x||_1 <= threshold`` (default
+  1e-6, ``algo/src/rank/mod.rs:130``) or at max_iter.
+
+The reference runs parallel *Gauss-Seidel* sweeps; power iteration converges
+to the same fixed point (the reference's own test checks GS against a power
+method to 1e-15, ``algo/tests/test_pagerank.rs:389-475``), so per-vertex
+scores agree well inside the 1e-6 acceptance band at convergence.
+
+Physical plan per iteration (the 100 TB cost model):
+
+1. gather join ``edges_w ⋈ ranks on src`` — both sides hash-partitioned on
+   the join key (edges persisted once, ranks land partitioned by id from the
+   previous groupBy), so the join is shuffle-free;
+2. ``groupBy(dst).sum`` — THE one unavoidable shuffle per iteration, with
+   map-side partial aggregation; AQE skew handling + optional salting (see
+   ``salt_partitions``) covers hub-domain skew;
+3. dangling mass + L1 delta — scalar aggregates over the n-row state table,
+   negligible next to the edge scan.
+
+Isolated/dangling nodes are carried by the explicit vertex table (SURVEY.md
+§2 dangling note: n comes from the vertex set, not from the edge list).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_rs_spark.driver import (
+    IterationResult,
+    MaxIter,
+    MetricBelow,
+    iterate,
+)
+from webgraph_rs_spark.graph import LinkGraph
+
+MODES = ("strongly", "weakly", "pseudo")
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id long, rank double)
+    iterations: int
+    err: float
+    metrics_history: list[dict] = field(default_factory=list)
+    resumed_from: int | None = None
+
+
+def pagerank(
+    g: LinkGraph,
+    alpha: float = 0.85,
+    mode: str = "strongly",
+    preference: DataFrame | None = None,
+    threshold: float | None = 1e-6,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    job: str = "pagerank",
+    checkpoint_every: int = 1,
+    resume: bool = True,
+    salt_partitions: int = 0,
+) -> PageRankResult:
+    """Run PageRank on ``g``.
+
+    ``preference``: optional (id, pref) DataFrame summing to 1; default
+    uniform. ``salt_partitions > 0`` enables two-stage salted aggregation of
+    the gather (for graphs whose in-degree distribution is so skewed that a
+    single hot ``dst`` key dominates a reducer even with AQE; the salt adds
+    one extra tiny shuffle of pre-aggregated rows).
+    """
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
+    spark = g.edges.sparkSession
+    n = g.num_nodes
+
+    # vertex_meta: id, pref, u (dangling redistribution weight), is_dangling
+    out_deg = g.out_degrees()
+    if preference is not None:
+        meta = out_deg.join(
+            preference.select("id", F.col("pref").cast("double")), "id", "left"
+        ).select("id", "out_deg", F.coalesce("pref", F.lit(0.0)).alias("pref"))
+    else:
+        meta = out_deg.withColumn("pref", F.lit(1.0 / n))
+    if mode == "strongly":
+        meta = meta.withColumn("u", F.col("pref"))
+    elif mode == "weakly":
+        meta = meta.withColumn("u", F.lit(1.0 / n))
+    else:  # pseudo
+        meta = meta.withColumn("u", F.lit(0.0))
+    meta = meta.withColumn("is_dangling", F.col("out_deg") == 0)
+    meta = meta.repartition("id").persist()
+    meta.count()
+
+    # edges weighted by 1/outdeg of src; persisted partitioned by src so the
+    # per-iteration gather join never re-shuffles the (huge) edges side.
+    inv = meta.select(
+        F.col("id").alias("src"), (F.lit(1.0) / F.col("out_deg")).alias("w")
+    ).filter(F.col("out_deg") > 0)
+    edges_w = g.edges.join(inv, "src").select("src", "dst", "w")
+    edges_w = edges_w.repartition("src").persist()
+    m = edges_w.count()
+
+    ranks0 = meta.select("id", F.col("pref").alias("rank"))
+
+    coef = alpha / (1.0 - alpha) if alpha < 1.0 else float("inf")
+
+    # Dangling mass is carried forward between iterations (computed in the
+    # same aggregate pass as the L1 delta — one action per iteration). On the
+    # first call (fresh run or resume) it is computed from the given state.
+    dangling_carry: dict[str, float | None] = {"d": None}
+
+    def _dangling_of(state: DataFrame) -> float:
+        return (
+            state.join(meta.select("id", "is_dangling"), "id")
+            .agg(F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)))
+            .collect()[0][0]
+            or 0.0
+        )
+
+    parent_cache: list[DataFrame] = []
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
+        # the previous iteration's intermediate is materialized into the
+        # driver-persisted state by now — safe to evict.
+        while parent_cache:
+            parent_cache.pop().unpersist()
+        d = dangling_carry["d"]
+        if d is None:
+            d = _dangling_of(state)
+        contrib_rows = edges_w.join(
+            state.withColumnRenamed("id", "src"), "src"
+        ).select("dst", (F.col("rank") * F.col("w")).alias("c"))
+        if salt_partitions > 0:
+            # two-stage agg: partial sum per (dst, salt) then final per dst.
+            contribs = (
+                contrib_rows.withColumn(
+                    "salt", F.pmod(F.spark_partition_id(), F.lit(salt_partitions))
+                )
+                .groupBy("dst", "salt")
+                .agg(F.sum("c").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+        else:
+            contribs = contrib_rows.groupBy("dst").agg(F.sum("c").alias("contrib"))
+        new = (
+            meta.select("id", "pref", "u", "is_dangling")
+            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "is_dangling",
+                (
+                    (1.0 - alpha) * F.col("pref")
+                    + alpha * (F.coalesce("contrib", F.lit(0.0)) + d * F.col("u"))
+                ).alias("rank"),
+            )
+        ).persist()
+        parent_cache.append(new)
+        if threshold is None:
+            # fixed-iteration mode: skip the delta join entirely (one fewer
+            # vertex-table scan per iteration)
+            next_d = (
+                new.agg(
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0))
+                ).collect()[0][0]
+                or 0.0
+            )
+            dangling_carry["d"] = next_d
+            return new.select("id", "rank"), {"dangling_mass": d, "arcs": m}
+        row = (
+            new.join(
+                state.select("id", F.col("rank").alias("old_rank")), "id"
+            )
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+                F.sum(
+                    F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("next_d"),
+            )
+            .collect()[0]
+        )
+        l1 = row["l1"] or 0.0
+        dangling_carry["d"] = row["next_d"] or 0.0
+        return new.select("id", "rank"), {
+            "l1_delta": l1,
+            "err": coef * l1,
+            "dangling_mass": d,
+            "arcs": m,
+        }
+
+    stop = (
+        MaxIter(max_iter)
+        if threshold is None
+        else MetricBelow("err", threshold) | MaxIter(max_iter)
+    )
+    res: IterationResult = iterate(
+        spark,
+        ranks0,
+        step,
+        stop,
+        checkpoint_dir=checkpoint_dir,
+        job=job,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    err = res.metrics_history[-1].get("err", float("nan")) if res.metrics_history else 0.0
+    while parent_cache:
+        parent_cache.pop().unpersist()
+    meta.unpersist()
+    edges_w.unpersist()
+    return PageRankResult(
+        ranks=res.state,
+        iterations=res.iterations,
+        err=err,
+        metrics_history=res.metrics_history,
+        resumed_from=res.resumed_from,
+    )
