@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 from pyspark.sql import Window as W
 
-from webgraph_rs_spark.graph import LinkGraph, canonical_edge_layout
+from webgraph_rs_spark.graph import LinkGraph, canonical_edge_layout, dense_ids
 
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
@@ -110,12 +110,10 @@ def url_dictionary(pages: DataFrame) -> DataFrame:
     The distributed analogue of the reference's appearance-order string
     interning (``cli/src/from/arcs.rs:129-148``) — see
     ``graph.intern_labels`` for why sorted order replaces appearance order.
+    Uses the two-phase distributed ranking of ``graph.dense_ids`` (no
+    single-partition global window).
     """
-    return (
-        pages.select("url")
-        .distinct()
-        .withColumn("id", F.row_number().over(W.orderBy("url")).cast("long") - 1)
-    )
+    return dense_ids(pages, "url").select(F.col("name").alias("url"), "id")
 
 
 def build_graph_from_pages(

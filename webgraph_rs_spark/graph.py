@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 EDGE_SCHEMA = "src long, dst long"
 VERTEX_SCHEMA = "id long"
@@ -177,6 +178,48 @@ def from_arc_list(
     return from_edges(spark, arcs)
 
 
+def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None) -> DataFrame:
+    """Assign dense ids 0..n-1 to distinct values of ``col``, in sorted order.
+
+    Fully distributed two-phase ranking (no single-partition global window,
+    which would serialize at 10^12 urls):
+
+    1. range-partition + sort the distinct values;
+    2. row_number within each partition;
+    3. add per-partition cumulative offsets (a tiny driver-side cumsum over
+       partition counts, broadcast back).
+
+    Deterministic: the value -> id mapping is its global sorted rank
+    regardless of how range sampling places partition boundaries.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("name")).distinct()
+    if num_partitions:
+        vals = vals.repartitionByRange(num_partitions, "name")
+    else:
+        vals = vals.repartitionByRange("name")
+    vals = vals.sortWithinPartitions("name").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part_counts = (
+        vals.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in sorted(part_counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["cnt"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = W.partitionBy("_pid").orderBy("name")
+    return (
+        vals.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "_pid")
+        .select("name", (F.col("_off") + F.col("_rn") - 1).alias("id"))
+    )
+
+
 def intern_labels(arcs: DataFrame, src: str = "src", dst: str = "dst") -> tuple[DataFrame, DataFrame]:
     """String node names -> dense ids; returns (edges, dictionary).
 
@@ -190,18 +233,10 @@ def intern_labels(arcs: DataFrame, src: str = "src", dst: str = "dst") -> tuple[
     distinct over ~10^12 strings is a single shuffle; the two relabel joins
     are sort-merge joins against an id table partitioned the same way.
     """
-    names = (
-        arcs.select(F.col(src).alias("name"))
-        .union(arcs.select(F.col(dst).alias("name")))
-        .distinct()
+    names = arcs.select(F.col(src).alias("name")).union(
+        arcs.select(F.col(dst).alias("name"))
     )
-    # zipWithIndex-style dense ids without a single-partition window:
-    # monotonically_increasing_id is per-partition sparse -> dense_rank it once.
-    from pyspark.sql import Window as W
-
-    dictionary = names.withColumn(
-        "id", F.row_number().over(W.orderBy("name")).cast("long") - 1
-    )
+    dictionary = dense_ids(names, "name")
     e = (
         arcs.join(dictionary.withColumnRenamed("name", src), src)
         .select(F.col("id").alias("new_src"), dst)
