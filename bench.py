@@ -1,0 +1,170 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Extra keys report the north-rule throughput metric (edges/sec per PageRank
+iteration). The two-parallelism scaling protocol (BASELINE.md) is run by
+``tools/bench_scaling.py`` which shells out to this file at local[8] and
+local[32].
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local core count (default 32)
+  BENCH_PR_ITERS       PageRank iterations to time (default 10)
+  BENCH_ONLY           comma-separated subset of query names
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from webgraph_rs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "10"))
+N_BENCH = 65536  # wider node domain than the correctness graph
+
+
+def bench_graph(spark):
+    """Derived bench graph: same lineitem derivation as testgraphs but over a
+    65536-node domain (sf0.1: ~600k arcs)."""
+    from webgraph_rs_spark.graph import from_edges
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % N_BENCH).alias("src"),
+            ((F.col("l_partkey") * 131 + F.col("l_suppkey")) % N_BENCH).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return from_edges(spark, edges, num_nodes=N_BENCH)
+
+
+def main() -> int:
+    spark = get_spark(app_name="webgraph_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    only = set(
+        x for x in os.environ.get("BENCH_ONLY", "").split(",") if x
+    )
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        if only and name not in only:
+            return None
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- graph build (shuffle into canonical layout, materialized)
+    g_holder = {}
+
+    def build():
+        g = bench_graph(spark)
+        g.edges.persist()
+        m = g.num_arcs
+        g_holder["g"] = g
+        g_holder["m"] = m
+        return m
+
+    timed("graph_build", build)
+    if "g" not in g_holder:  # BENCH_ONLY excluded the build — still need it
+        build()
+        timings.pop("graph_build", None)
+    g = g_holder["g"]
+    m = g_holder["m"]
+
+    # -- pages synthesis + extraction throughput (the ingestion frontend)
+    def extraction():
+        from webgraph_rs_spark.pages import synthesize_pages
+        from webgraph_rs_spark.extract import extract_pages
+
+        pages = synthesize_pages(spark, g.edges, g.num_nodes)
+        out = extract_pages(pages)
+        return out.agg(
+            F.count(F.lit(1)), F.sum(F.length("text")), F.sum(F.size("links"))
+        ).collect()
+
+    timed("pages_extract", extraction)
+
+    # -- PageRank: fixed iterations, report edges/sec/iteration
+    def pr():
+        from webgraph_rs_spark.algorithms import pagerank
+
+        res = pagerank(g, alpha=0.85, threshold=None, max_iter=PR_ITERS)
+        res.ranks.agg(F.sum("rank")).collect()
+        return res
+
+    timed("pagerank", pr)
+    if "pagerank" in timings:
+        per_iter = timings["pagerank"] / PR_ITERS
+        extras["pagerank_iters"] = PR_ITERS
+        extras["pagerank_sec_per_iter"] = round(per_iter, 3)
+        extras["pagerank_edges_per_sec_per_iter"] = round(m / per_iter, 1)
+
+    # -- connected components to fixpoint
+    def cc():
+        from webgraph_rs_spark.algorithms import connected_components
+
+        res = connected_components(g)
+        res.labels.agg(F.countDistinct("label")).collect()
+        return res
+
+    timed("connected_components", cc)
+
+    # -- label propagation, 3 rounds
+    def lp():
+        from webgraph_rs_spark.algorithms import label_propagation
+
+        res = label_propagation(g, max_iter=3)
+        res.labels.agg(F.countDistinct("label")).collect()
+        return res
+
+    timed("labelprop", lp)
+
+    # -- triangle count
+    def tri():
+        from webgraph_rs_spark.algorithms import triangle_count
+
+        return triangle_count(g)
+
+    timed("triangles", tri)
+
+    # -- BFS from node 0
+    def bfs():
+        from webgraph_rs_spark.algorithms import bfs_distances
+
+        return bfs_distances(g, [0]).distances.count()
+
+    timed("bfs", bfs)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "arcs": m,
+        "nodes": g.num_nodes,
+        **extras,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

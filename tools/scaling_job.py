@@ -1,0 +1,115 @@
+"""One scaling-run of the north-rule job at a given parallelism level.
+
+Usage: python tools/scaling_job.py <cores> [out_json]
+
+Builds a deterministic synthetic graph (no external data): 2^21 nodes,
+16 out-edges per node via affine hash formulas plus a planted hub (node 0
+gets ~260k in-links => web-like skew), then measures:
+
+- PageRank power iterations — per-iteration wall times; MIN is reported as
+  the capability estimate because the sandbox host shows intermittent
+  multi-second interference bursts (see BENCH/BASELINE.md);
+- pages synthesis + link/text extraction over a 400k-page slice (the
+  pandas-UDF ingestion frontend), 3 warm repetitions, min.
+
+Prints one JSON line with per-segment seconds and throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_NODES = 1 << 21
+OUT_DEG = 16
+PAGES_NODES = 400_000
+PR_WARMUP = 2
+PR_TIMED = 8
+EXTRACT_REPS = 3
+
+
+def main() -> int:
+    cores = int(sys.argv[1])
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from pyspark.sql import functions as F
+    from webgraph_rs_spark.session import get_spark
+    from webgraph_rs_spark.graph import LinkGraph, canonical_edge_layout
+    from webgraph_rs_spark.algorithms import pagerank
+
+    spark = get_spark(
+        app_name=f"scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+
+    base = spark.range(N_NODES).select(F.col("id").alias("src"))
+    ks = [(2 * k + 1, 40503 * (k + 1)) for k in range(OUT_DEG)]
+    succ_cols = F.array(*[((F.col("src") * a + b) % N_NODES) for a, b in ks])
+    edges = base.select("src", F.explode(succ_cols).alias("dst"))
+    hub = (
+        spark.range(0, N_NODES, 8)
+        .select(F.col("id").alias("src"), F.lit(0).cast("long").alias("dst"))
+    )
+    edges = edges.unionByName(hub).filter(F.col("src") != F.col("dst"))
+    t0 = time.monotonic()
+    e = canonical_edge_layout(edges, num_partitions=cores * 2).persist()
+    m = e.count()
+    build_sec = time.monotonic() - t0
+    g = LinkGraph(e, spark.range(N_NODES).select("id"), _num_nodes=N_NODES)
+
+    res = pagerank(g, alpha=0.85, threshold=None, max_iter=PR_WARMUP + PR_TIMED)
+    walls = sorted(m_["wall_sec"] for m_ in res.metrics_history[PR_WARMUP:])
+    pr_iter_sec = walls[0]  # min = capability under interference
+
+    # extraction segment over a page slice; warm python workers first
+    from webgraph_rs_spark.pages import synthesize_pages
+    from webgraph_rs_spark.extract import extract_pages
+
+    sub = (
+        e.filter(F.col("src") < PAGES_NODES)
+        .filter(F.col("dst") < PAGES_NODES)
+        .persist()
+    )
+    sub.count()
+    pages = synthesize_pages(spark, sub, PAGES_NODES).persist()
+    n_pages = pages.count()
+    extract_pages(pages.limit(1000)).count()  # warm the python workers
+    ex_times = []
+    for _ in range(EXTRACT_REPS):
+        t0 = time.monotonic()
+        extract_pages(pages).agg(
+            F.count(F.lit(1)), F.sum(F.length("text")), F.sum(F.size("links"))
+        ).collect()
+        ex_times.append(time.monotonic() - t0)
+    extract_sec = min(ex_times)
+
+    out = {
+        "cores": cores,
+        "nodes": N_NODES,
+        "arcs": int(m),
+        "graph_build_sec": round(build_sec, 2),
+        "pagerank_iters": PR_TIMED,
+        "pagerank_iter_walls": walls,
+        "pagerank_sec_per_iter": round(pr_iter_sec, 3),
+        "pagerank_edges_per_sec_per_iter": round(m / pr_iter_sec, 1),
+        "pages": int(n_pages),
+        "extract_walls": [round(t, 2) for t in ex_times],
+        "extract_sec": round(extract_sec, 2),
+        "pages_per_sec": round(n_pages / extract_sec, 1),
+    }
+    line = json.dumps(out)
+    print(line)
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -65,7 +65,7 @@ def connected_components(
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
         nbr_min = (
-            sym.join(state.withColumnRenamed("id", "src"), "src")
+            sym.join(state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )

@@ -67,7 +67,9 @@ def label_propagation(
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
-        gathered = edges.join(state.withColumnRenamed("id", "src"), "src").select(
+        gathered = edges.join(
+            state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+        ).select(
             F.col("dst").alias("id"), "label"
         )
         counts = gathered.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))

@@ -21,7 +21,7 @@ scores agree well inside the 1e-6 acceptance band at convergence.
 
 Physical plan per iteration (the 100 TB cost model):
 
-1. gather join ``edges_w ⋈ ranks on src`` — both sides hash-partitioned on
+1. gather join ``edges ⋈ scaled_ranks on src`` — both sides hash-partitioned on
    the join key (edges persisted once, ranks land partitioned by id from the
    previous groupBy), so the join is shuffle-free;
 2. ``groupBy(dst).sum`` — THE one unavoidable shuffle per iteration, with
@@ -105,23 +105,28 @@ def pagerank(
     meta = meta.repartition("id").persist()
     meta.count()
 
-    # edges weighted by 1/outdeg of src; persisted partitioned by src so the
-    # per-iteration gather join never re-shuffles the (huge) edges side.
-    inv = meta.select(
-        F.col("id").alias("src"), (F.lit(1.0) / F.col("out_deg")).alias("w")
-    ).filter(F.col("out_deg") > 0)
-    edges_w = g.edges.join(inv, "src").select("src", "dst", "w")
-    edges_w = edges_w.repartition("src").persist()
-    m = edges_w.count()
+    # The edge table stays bare (src, dst) — at web scale it dominates all
+    # storage and shuffle, so the 1/outdeg weight is NOT materialized per
+    # edge; instead the (vertex-sized) state is scaled by 1/outdeg once per
+    # iteration. Persisted hash-partitioned by src: the per-iteration gather
+    # join never re-shuffles the edges side.
+    edges = g.edges.repartition("src").persist()
+    m = edges.count()
 
     ranks0 = meta.select("id", F.col("pref").alias("rank"))
 
     coef = alpha / (1.0 - alpha) if alpha < 1.0 else float("inf")
 
+    # If the graph has no dangling nodes at all (common for web cores), the
+    # dangling term is identically zero — skip its per-iteration aggregate.
+    has_dangling = bool(
+        meta.filter(F.col("is_dangling")).limit(1).count()
+    )
+
     # Dangling mass is carried forward between iterations (computed in the
     # same aggregate pass as the L1 delta — one action per iteration). On the
     # first call (fresh run or resume) it is computed from the given state.
-    dangling_carry: dict[str, float | None] = {"d": None}
+    dangling_carry: dict[str, float | None] = {"d": None if has_dangling else 0.0}
 
     def _dangling_of(state: DataFrame) -> float:
         return (
@@ -141,9 +146,24 @@ def pagerank(
         d = dangling_carry["d"]
         if d is None:
             d = _dangling_of(state)
-        contrib_rows = edges_w.join(
-            state.withColumnRenamed("id", "src"), "src"
-        ).select("dst", (F.col("rank") * F.col("w")).alias("c"))
+        # scale the state by 1/outdeg (vertex-sized join against cached meta)
+        scaled = (
+            meta.select("id", "out_deg")
+            .filter(F.col("out_deg") > 0)
+            .join(state.hint("shuffle_hash"), "id")
+            .select(
+                F.col("id").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        # shuffle_hash hint on the (vertex-sized) scaled-state side: the
+        # edges side is already hash-partitioned on src and gets reused
+        # without an exchange; broadcasting a web-scale rank vector every
+        # iteration — Catalyst's default when the estimate fits the
+        # threshold — is both slower here and impossible at 10^12 nodes.
+        contrib_rows = edges.join(scaled.hint("shuffle_hash"), "src").select(
+            "dst", "c"
+        )
         if salt_partitions > 0:
             # two-stage agg: partial sum per (dst, salt) then final per dst.
             contribs = (
@@ -159,7 +179,11 @@ def pagerank(
             contribs = contrib_rows.groupBy("dst").agg(F.sum("c").alias("contrib"))
         new = (
             meta.select("id", "pref", "u", "is_dangling")
-            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .join(
+                contribs.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 "is_dangling",
@@ -168,18 +192,25 @@ def pagerank(
                     + alpha * (F.coalesce("contrib", F.lit(0.0)) + d * F.col("u"))
                 ).alias("rank"),
             )
-        ).persist()
-        parent_cache.append(new)
+        )
+        # persist only when a metrics action will scan `new` (otherwise the
+        # driver's localCheckpoint is the single materialization)
+        if threshold is not None or has_dangling:
+            new = new.persist()
+            parent_cache.append(new)
         if threshold is None:
             # fixed-iteration mode: skip the delta join entirely (one fewer
             # vertex-table scan per iteration)
-            next_d = (
-                new.agg(
-                    F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0))
-                ).collect()[0][0]
-                or 0.0
-            )
-            dangling_carry["d"] = next_d
+            if has_dangling:
+                next_d = (
+                    new.agg(
+                        F.sum(
+                            F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
+                        )
+                    ).collect()[0][0]
+                    or 0.0
+                )
+                dangling_carry["d"] = next_d
             return new.select("id", "rank"), {"dangling_mass": d, "arcs": m}
         row = (
             new.join(
@@ -194,7 +225,7 @@ def pagerank(
             .collect()[0]
         )
         l1 = row["l1"] or 0.0
-        dangling_carry["d"] = row["next_d"] or 0.0
+        dangling_carry["d"] = row["next_d"] or 0.0 if has_dangling else 0.0
         return new.select("id", "rank"), {
             "l1_delta": l1,
             "err": coef * l1,
@@ -221,7 +252,7 @@ def pagerank(
     while parent_cache:
         parent_cache.pop().unpersist()
     meta.unpersist()
-    edges_w.unpersist()
+    edges.unpersist()
     return PageRankResult(
         ranks=res.state,
         iterations=res.iterations,
