@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "page_text_extraction": _q_page_text,
         "page_link_extraction": _q_page_links,
+        **_TEXTOPS_QUERIES,
+        **_DIST_QUERIES,
     }
 
 
@@ -685,4 +687,714 @@ WITH n AS (SELECT count(*) AS c FROM documents)
 SELECT DISTINCT doc_id AS src, (doc_id * 31 + k) % (SELECT c FROM n) AS dst
 FROM documents, (SELECT unnest([1, 2, 3]) AS k)
 """,
+        **_textops_oracles(),
+        **_dist_oracles(),
+    }
+
+
+# ---------------------------------------------------------- textops queries
+
+TOK_NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+TOKS_SQL = (
+    "list_filter(string_split(" + TOK_NORM_SQL.format(col="{col}") + ", ' '), "
+    "x -> x != '')"
+)
+TOKHASH_SQL = "(('0x' || substr(md5({tok}), 1, 15))::BIGINT)"
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _q_dedup_exact(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import exact_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def _q_fingerprint(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import fingerprint
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return fingerprint(docs)
+
+
+def _q_token_count(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import token_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return token_count(docs)
+
+
+def _q_quality(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import quality_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return quality_score(docs)
+
+
+def _q_langid(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import lang_id
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return lang_id(docs)
+
+
+def _q_minhash(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sig = minhash_signatures(docs)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("j", "mh")
+    ).select("doc_id", F.col("j").cast("long").alias("j"), "mh")
+
+
+def _q_minhash_lsh(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _q_ngram_jaccard(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def _q_simhash(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import simhash
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash(docs)
+
+
+def _q_simhash_dups(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def _q_cosine_topk(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import cosine_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
+def _q_lsh_buckets(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import lsh_buckets
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return lsh_buckets(emb)
+
+
+def _q_multimodal(spark, sf):
+    _import_engine()
+    _ship_package(spark)
+    from webgraph_rs_spark.textops.multimodal import (
+        decode_image_features,
+        synthesize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    feats = decode_image_features(synthesize_images(docs))
+    return feats.select("doc_id", "width", "height", "n_bytes", "pixel_sum")
+
+
+def _q_rolling_fp(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops.textstats import rolling_fingerprints
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return rolling_fingerprints(docs.limit(100).orderBy("doc_id"), window=8)
+
+
+def _minhash_sql() -> str:
+    from webgraph_rs_spark.textops.dedup import MH_COEF, MH_P1, MH_P2
+
+    toks = TOKS_SQL.format(col="text")
+    mins = ", ".join(
+        f"min(({a} * hs + {b}) % {MH_P2}) AS mh{j}"
+        for j, (a, b) in enumerate(MH_COEF)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {j}::BIGINT AS j, mh{j} AS mh FROM sig"
+        for j in range(len(MH_COEF))
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+),
+h AS MATERIALIZED (
+  SELECT doc_id, {TOKHASH_SQL.format(tok='tok')} % {MH_P1} AS hs FROM t
+),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
+{unions}
+"""
+
+
+def _shingle_cte() -> str:
+    toks = TOKS_SQL.format(col="text")
+    return f"""
+tk AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM tk WHERE len(t) >= 3
+),
+sz AS MATERIALIZED (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id)
+"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.2) -> str:
+    return f"""
+WITH {_shingle_cte()},
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+WHERE round(i / (sa.s + sb.s - i), 6) >= {threshold}
+"""
+
+
+def _minhash_lsh_sql(threshold: float = 0.5) -> str:
+    from webgraph_rs_spark.textops.dedup import MH_COEF, MH_P1, MH_P2, MH_BANDS
+
+    nh = len(MH_COEF)
+    rows = nh // MH_BANDS
+    toks = TOKS_SQL.format(col="text")
+    mins = ", ".join(
+        f"min(({a} * hs + {b}) % {MH_P2}) AS mh{j}"
+        for j, (a, b) in enumerate(MH_COEF)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            bnd=bnd,
+            cols=", ".join(f"mh{bnd * rows + r}" for r in range(rows)),
+        )
+        for bnd in range(MH_BANDS)
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+),
+h AS MATERIALIZED (
+  SELECT doc_id, {TOKHASH_SQL.format(tok='tok')} % {MH_P1} AS hs FROM t
+),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS MATERIALIZED ({band_rows}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+  WHERE l.doc_id < r.doc_id
+),
+{_shingle_cte()},
+inter AS MATERIALIZED (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y
+    ON y.doc_id = c.b AND x.shingle = y.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b,
+       round(coalesce(i.i, 0) / (sa.s + sb.s - coalesce(i.i, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+WHERE round(coalesce(i.i, 0) / (sa.s + sb.s - coalesce(i.i, 0)), 6) >= {threshold}
+"""
+
+
+def _simhash_sql() -> str:
+    from webgraph_rs_spark.textops.dedup import SIMHASH_BITS
+
+    toks = TOKS_SQL.format(col="text")
+    sums = ", ".join(
+        f"sum(((h // {1 << i}) % 2) * 2 - 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+),
+h AS MATERIALIZED (SELECT doc_id, {TOKHASH_SQL.format(tok='tok')} AS h FROM t),
+agg AS MATERIALIZED (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({assemble})::BIGINT AS simhash FROM agg
+"""
+
+
+def _simhash_dups_sql(max_hamming: int = 3) -> str:
+    from webgraph_rs_spark.textops.dedup import SIMHASH_BITS
+
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash // {1 << (c * width)}) "
+        f"% {1 << width} AS ck, simhash FROM s"
+        for c in range(chunks)
+    )
+    return (
+        f"WITH base AS MATERIALIZED ({_simhash_sql()}), s AS (SELECT * FROM base), "
+        f"p AS MATERIALIZED ({parts}) "
+        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, "
+        "bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming "
+        "FROM p l JOIN p r ON l.chunk = r.chunk AND l.ck = r.ck "
+        f"WHERE l.doc_id < r.doc_id AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"
+    )
+
+
+def _langid_sql() -> str:
+    from webgraph_rs_spark.textops.textstats import STOPWORDS
+
+    toks = TOKS_SQL.format(col="text")
+    rows = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, len(list_filter(t, x -> x IN ({words}))) AS hits FROM tk".format(
+            lang=lang, words=", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    )
+    return f"""
+WITH tk AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+scores AS MATERIALIZED ({rows}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       hits::BIGINT AS lang_hits
+FROM best WHERE rn = 1
+"""
+
+
+def _quality_sql() -> str:
+    toks = TOKS_SQL.format(col="text")
+    sw = "'the','and','of','to','a','in','is','that','it','for'"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, {toks} AS t, length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, len(t)::BIGINT AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+              ELSE 0.0 END AS mean_token_len,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> x IN ({sw})))::DOUBLE / len(t)
+              ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, round(mean_token_len, 6) AS mean_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(0.4 * least(n_chars / 500.0, 1.0)
+           + 0.4 * least(stopword_ratio * 5.0, 1.0)
+           + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+def _cosine_topk_sql(k: int = 5) -> str:
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+c AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cos_sim
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rnk
+FROM sims
+QUALIFY rnk <= {k}
+"""
+
+
+def _lsh_buckets_sql() -> str:
+    from webgraph_rs_spark.textops.similarity import N_PLANES
+
+    terms = []
+    for j in range(N_PLANES):
+        base = 1103515245 * (j + 1)
+        dot = (
+            f"(SELECT sum(e.embedding[u.i]::DOUBLE * ((({base} + 12345 * u.i)"
+            f" % 1000 - 500) / 500.0))"
+            f" FROM unnest(generate_series(1, len(e.embedding))) AS u(i))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    assemble = " + ".join(terms)
+    return f"SELECT e.vec_id, ({assemble})::BIGINT AS bucket FROM embeddings e"
+
+
+def _multimodal_sql() -> str:
+    return """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 32 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         sum((d.doc_id + 31 * x.i + 17 * y.j) % 251)::BIGINT AS ps
+  FROM dims d,
+       unnest(generate_series(0, d.w - 1)) AS x(i),
+       unnest(generate_series(0, d.h - 1)) AS y(j)
+  GROUP BY d.doc_id, d.w, d.h
+)
+SELECT doc_id, w::INT AS width, h::INT AS height,
+       (8 + w * h)::BIGINT AS n_bytes, ps AS pixel_sum
+FROM px
+"""
+
+
+def _rolling_fp_sql(window: int = 8) -> str:
+    toks = TOKS_SQL.format(col="text")
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100),
+tk AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM d),
+w AS (
+  SELECT doc_id,
+         split_part(u.s, '|', 1)::BIGINT AS pos,
+         split_part(u.s, '|', 2) AS win
+  FROM tk, unnest(list_transform(generate_series(1, len(t) - {window} + 1),
+       i -> (i - 1)::VARCHAR || '|' ||
+            array_to_string(list_slice(t, i, i + {window} - 1), ' ')))
+       AS u(s)
+  WHERE len(t) >= {window}
+)
+SELECT doc_id, pos,
+       ('0x' || substr(md5(win), 1, 15))::BIGINT AS fp
+FROM w
+"""
+
+
+_TEXTOPS_QUERIES = {
+    "dedup_exact": _q_dedup_exact,
+    "doc_fingerprint": _q_fingerprint,
+    "token_count": _q_token_count,
+    "quality_score": _q_quality,
+    "lang_id": _q_langid,
+    "minhash_signatures": _q_minhash,
+    "minhash_lsh_dups": _q_minhash_lsh,
+    "ngram_jaccard_dups": _q_ngram_jaccard,
+    "simhash": _q_simhash,
+    "simhash_near_dups": _q_simhash_dups,
+    "cosine_topk": _q_cosine_topk,
+    "lsh_buckets": _q_lsh_buckets,
+    "multimodal_meta": _q_multimodal,
+    "rolling_fingerprints": _q_rolling_fp,
+}
+
+
+def _textops_oracles() -> dict[str, str]:
+    toks = TOKS_SQL.format(col="text")
+    return {
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+k AS (SELECT h, min(doc_id) AS keeper FROM h GROUP BY h)
+SELECT doc_id, keeper FROM h JOIN k USING (h)
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id, md5({TOK_NORM_SQL.format(col='text')}) AS fp_md5,
+       ('0x' || substr(md5({TOK_NORM_SQL.format(col='text')}), 1, 15))::BIGINT AS fp_int
+FROM documents
+""",
+        "token_count": f"""
+SELECT doc_id, len({toks})::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_bpe_pieces
+FROM documents
+""",
+        "quality_score": _quality_sql(),
+        "lang_id": _langid_sql(),
+        "minhash_signatures": _minhash_sql(),
+        "minhash_lsh_dups": _minhash_lsh_sql(),
+        "ngram_jaccard_dups": _ngram_jaccard_sql(),
+        "simhash": _simhash_sql(),
+        "simhash_near_dups": _simhash_dups_sql(),
+        "cosine_topk": _cosine_topk_sql(),
+        "lsh_buckets": _lsh_buckets_sql(),
+        "multimodal_meta": _multimodal_sql(),
+        "rolling_fingerprints": _rolling_fp_sql(),
+    }
+
+
+# ------------------------------------------------- birank + distance queries
+
+BR_ITERS = 8
+BR_ALPHA = 0.85
+BR_BETA = 0.75
+APD_ITERS = 12
+
+SQL_BIP = (
+    "SELECT DISTINCT o_custkey % 1024 AS u, o_orderkey % 997 AS p FROM orders"
+)
+
+
+def _q_birank(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.algorithms.birank import birank
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    e = o.select(
+        (F.col("o_custkey") % 1024).alias("u"), (F.col("o_orderkey") % 997).alias("p")
+    ).dropDuplicates(["u", "p"])
+    res = birank(
+        e,
+        spark.range(1024).select("id"),
+        spark.range(997).select("id"),
+        alpha=BR_ALPHA,
+        beta=BR_BETA,
+        threshold=None,
+        max_iter=BR_ITERS,
+    )
+    return res.user_ranks.select(
+        F.lit("u").alias("side"), "id", F.round("rank", 7).alias("rank")
+    ).unionByName(
+        res.item_ranks.select(
+            F.lit("p").alias("side"), "id", F.round("rank", 7).alias("rank")
+        )
+    )
+
+
+def _birank_sql(iters: int = BR_ITERS, alpha: float = BR_ALPHA, beta: float = BR_BETA) -> str:
+    a, b = repr(alpha), repr(beta)
+    oma, omb = repr(1.0 - alpha), repr(1.0 - beta)
+    parts = [
+        f"WITH e AS MATERIALIZED ({SQL_BIP}),",
+        "uu AS MATERIALIZED (SELECT range::BIGINT AS id FROM range(1024)),",
+        "pp AS MATERIALIZED (SELECT range::BIGINT AS id FROM range(997)),",
+        "du AS MATERIALIZED (SELECT u AS id, count(*) AS d FROM e GROUP BY u),",
+        "dp AS MATERIALIZED (SELECT p AS id, count(*) AS d FROM e GROUP BY p),",
+        "mu AS MATERIALIZED (SELECT uu.id, CASE WHEN du.d > 0 THEN 1.0/sqrt(du.d) ELSE 0.0 END AS isd, 1.0/1024 AS q FROM uu LEFT JOIN du ON uu.id = du.id),",
+        "mp AS MATERIALIZED (SELECT pp.id, CASE WHEN dp.d > 0 THEN 1.0/sqrt(dp.d) ELSE 0.0 END AS isd, 1.0/997 AS q FROM pp LEFT JOIN dp ON pp.id = dp.id),",
+        "u0 AS MATERIALIZED (SELECT id, 1.0/1024 AS r FROM uu),",
+        "p0 AS MATERIALIZED (SELECT id, 1.0/997 AS r FROM pp),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"ps{k} AS MATERIALIZED (SELECT e.p AS id, sum(u{k}.r * mu.isd) AS s "
+            f"FROM e JOIN u{k} ON e.u = u{k}.id JOIN mu ON e.u = mu.id GROUP BY e.p),"
+        )
+        parts.append(
+            f"p{k + 1} AS MATERIALIZED (SELECT mp.id, "
+            f"{b} * coalesce(ps{k}.s, 0.0) * mp.isd + {omb} * mp.q AS r "
+            f"FROM mp LEFT JOIN ps{k} ON mp.id = ps{k}.id),"
+        )
+        parts.append(
+            f"us{k} AS MATERIALIZED (SELECT e.u AS id, sum(p{k + 1}.r * mp.isd) AS s "
+            f"FROM e JOIN p{k + 1} ON e.p = p{k + 1}.id JOIN mp ON e.p = mp.id GROUP BY e.u),"
+        )
+        parts.append(
+            f"u{k + 1} AS MATERIALIZED (SELECT mu.id, "
+            f"{a} * coalesce(us{k}.s, 0.0) * mu.isd + {oma} * mu.q AS r "
+            f"FROM mu LEFT JOIN us{k} ON mu.id = us{k}.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT 'u' AS side, id, round(r, 7) AS rank FROM u{iters} "
+        f"UNION ALL SELECT 'p' AS side, id, round(r, 7) AS rank FROM p{iters}"
+    )
+    return "\n".join(parts)
+
+
+def _apd_sql(iters: int = APD_ITERS) -> str:
+    """Multi-source min-plus from the 32-root sample over the lineitem
+    graph, K unrolled steps. (Full all-pairs on the strongly connected test
+    graphs is n^2 pairs — the sampled-source form is also the realistic
+    at-scale usage, cf. sampling-based diameter estimation.)"""
+    parts = [
+        f"WITH e AS MATERIALIZED ({SQL_EDGES}),",
+        "v AS MATERIALIZED (SELECT range::BIGINT AS id FROM range(32)),",
+        "d0 AS MATERIALIZED (SELECT id AS root, id, 0::BIGINT AS distance FROM v),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT d{k}.root, e.dst AS id, "
+            f"min(d{k}.distance) + 1 AS nd FROM e JOIN d{k} ON e.src = d{k}.id "
+            f"GROUP BY d{k}.root, e.dst),"
+        )
+        parts.append(
+            f"d{k + 1} AS MATERIALIZED (SELECT coalesce(a.root, b.root) AS root, "
+            f"coalesce(a.id, b.id) AS id, "
+            f"least(coalesce(a.distance, b.nd), coalesce(b.nd, a.distance)) AS distance "
+            f"FROM d{k} a FULL OUTER JOIN n{k} b ON a.root = b.root AND a.id = b.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts), f"d{iters}"
+
+
+APD_SOURCES = 32
+
+
+def _apd_base(spark, sf):
+    from webgraph_rs_spark.testgraphs import lineitem_graph
+    from webgraph_rs_spark.algorithms.distances import all_pairs_distances
+
+    g = lineitem_graph(spark, sf)
+    roots = spark.range(APD_SOURCES).select("id")
+    return g, all_pairs_distances(g, sources=roots)
+
+
+def _q_apd(spark, sf):
+    _import_engine()
+    return _apd_base(spark, sf)[1].distances
+
+
+def _q_nf(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.algorithms.distances import neighborhood_function
+
+    return neighborhood_function(_apd_base(spark, sf)[1].distances)
+
+
+def _q_centralities(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.algorithms.distances import geometric_centralities
+
+    g, res = _apd_base(spark, sf)
+    roots = g.edges.sparkSession.range(APD_SOURCES).select("id")
+    return geometric_centralities(res.distances, roots)
+
+
+def _q_ecc(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.algorithms.distances import eccentricities
+
+    g, res = _apd_base(spark, sf)
+    roots = g.edges.sparkSession.range(APD_SOURCES).select("id")
+    return eccentricities(res.distances, roots)
+
+
+def _q_radius_diameter(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.algorithms.distances import radius_diameter
+
+    g, res = _apd_base(spark, sf)
+    roots = spark.range(APD_SOURCES).select("id")
+    r, d = radius_diameter(res.distances, roots)
+    return spark.createDataFrame([(r, d)], "radius long, diameter long")
+
+
+def _q_hyperball(spark, sf):
+    """Approximate — no SQL oracle (driver records a rows-only check);
+    accuracy is pinned against the exact neighborhood function in pytest."""
+    _import_engine()
+    _ship_package(spark)
+    from webgraph_rs_spark.testgraphs import orders_graph
+    from webgraph_rs_spark.algorithms.distances import hyperball
+
+    g = orders_graph(spark, sf)
+    hb = hyperball(g, max_iter=16)
+    return hb.centralities.select(
+        "id",
+        F.round("reachable_est", 4).alias("reachable_est"),
+        F.round("sum_dist_est", 4).alias("sum_dist_est"),
+        F.round("harmonic_est", 4).alias("harmonic_est"),
+    )
+
+
+def _q_llp(spark, sf):
+    """Iterative multi-stage (LP per gamma + combine) — no SQL oracle;
+    permutation validity + gap-cost improvement are pytest-pinned."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import orders_graph
+    from webgraph_rs_spark.algorithms.llp import llp
+
+    g = orders_graph(spark, sf)
+    res = llp(g, gammas=(0.0, 0.5), iters_per_gamma=4)
+    return res.permutation
+
+
+_DIST_QUERIES = {
+    "birank": _q_birank,
+    "all_pairs_distances": _q_apd,
+    "neighborhood_function": _q_nf,
+    "geometric_centralities": _q_centralities,
+    "eccentricities": _q_ecc,
+    "radius_diameter": _q_radius_diameter,
+    "hyperball_centralities": _q_hyperball,
+    "llp_permutation": _q_llp,
+}
+
+
+def _dist_oracles() -> dict[str, str]:
+    apd_ctes, final = _apd_sql()
+    nf = (
+        apd_ctes
+        + f""",
+byd AS (SELECT distance, count(*) AS n FROM {final} GROUP BY distance)
+SELECT distance AS r,
+       sum(n) OVER (ORDER BY distance ROWS UNBOUNDED PRECEDING)::BIGINT AS pairs
+FROM byd
+"""
+    )
+    cent = (
+        apd_ctes
+        + f""",
+agg AS (SELECT root AS id, count(*) AS reachable, sum(distance) AS sum_dist,
+               sum(CASE WHEN distance > 0 THEN 1.0 / distance ELSE 0.0 END) AS harmonic
+        FROM {final} GROUP BY root)
+SELECT v.id, coalesce(agg.reachable, 1)::BIGINT AS reachable,
+       coalesce(agg.sum_dist, 0)::BIGINT AS sum_dist,
+       round(coalesce(agg.harmonic, 0.0), 6) AS harmonic,
+       round(CASE WHEN coalesce(agg.sum_dist, 0) > 0
+                  THEN 1.0 / agg.sum_dist ELSE 0.0 END, 9) AS closeness,
+       round(CASE WHEN coalesce(agg.sum_dist, 0) > 0
+                  THEN (agg.reachable * agg.reachable)::DOUBLE / agg.sum_dist
+                  ELSE 1.0 END, 6) AS lin
+FROM v LEFT JOIN agg ON v.id = agg.id
+"""
+    )
+    ecc = (
+        apd_ctes
+        + f""",
+agg AS (SELECT root AS id, max(distance) AS ecc FROM {final} GROUP BY root)
+SELECT v.id, coalesce(agg.ecc, 0)::BIGINT AS ecc
+FROM v LEFT JOIN agg ON v.id = agg.id
+"""
+    )
+    rad = (
+        apd_ctes
+        + f""",
+agg AS (SELECT root AS id, max(distance) AS ecc FROM {final} GROUP BY root),
+alle AS (SELECT v.id, coalesce(agg.ecc, 0) AS ecc FROM v LEFT JOIN agg ON v.id = agg.id)
+SELECT min(ecc)::BIGINT AS radius, max(ecc)::BIGINT AS diameter FROM alle
+"""
+    )
+    return {
+        "birank": _birank_sql(),
+        "all_pairs_distances": apd_ctes + f"\nSELECT root, id, distance FROM {final}",
+        "neighborhood_function": nf,
+        "geometric_centralities": cent,
+        "eccentricities": ecc,
+        "radius_diameter": rad,
     }

@@ -1,0 +1,140 @@
+"""BiRank vs a NumPy oracle; exact distances/centralities/ecc vs brute
+force; HyperBall estimates vs the exact neighborhood function."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.oracles import canonical8, erdos_renyi
+from webgraph_rs_spark.graph import graph_from_pandas
+from webgraph_rs_spark.algorithms.birank import birank
+from webgraph_rs_spark.algorithms.distances import (
+    all_pairs_distances,
+    eccentricities,
+    geometric_centralities,
+    hyperball,
+    neighborhood_function,
+    radius_diameter,
+)
+
+
+def birank_numpy(n_u, n_p, edges, alpha, beta, iters):
+    W = np.zeros((n_u, n_p))
+    for u, p in edges:
+        W[u, p] += 1.0
+    du = W.sum(axis=1)
+    dp = W.sum(axis=0)
+    S = W / np.sqrt(np.outer(np.where(du > 0, du, 1), np.where(dp > 0, dp, 1)))
+    S[du == 0, :] = 0
+    S[:, dp == 0] = 0
+    u0 = np.full(n_u, 1.0 / n_u)
+    p0 = np.full(n_p, 1.0 / n_p)
+    u, p = u0.copy(), p0.copy()
+    for _ in range(iters):
+        p = beta * (S.T @ u) + (1 - beta) * p0
+        u = alpha * (S @ p) + (1 - alpha) * u0
+    return u, p
+
+
+def test_birank_vs_numpy(spark):
+    rng = np.random.default_rng(5)
+    n_u, n_p = 20, 15
+    edges = [(int(u), int(p)) for u, p in
+             zip(rng.integers(0, n_u, 120), rng.integers(0, n_p, 120))]
+    edges = sorted(set(edges))
+    e = spark.createDataFrame(edges, "u long, p long")
+    users = spark.range(n_u).select("id")
+    items = spark.range(n_p).select("id")
+    res = birank(e, users, items, alpha=0.8, beta=0.7, threshold=None, max_iter=12)
+    eu, ep = birank_numpy(n_u, n_p, edges, 0.8, 0.7, 12)
+    gu = np.zeros(n_u)
+    for r in res.user_ranks.collect():
+        gu[r["id"]] = r["rank"]
+    gp = np.zeros(n_p)
+    for r in res.item_ranks.collect():
+        gp[r["id"]] = r["rank"]
+    assert np.allclose(gu, eu, atol=1e-10)
+    assert np.allclose(gp, ep, atol=1e-10)
+
+
+def test_birank_converges(spark):
+    e = spark.createDataFrame([(0, 0), (0, 1), (1, 1), (2, 0)], "u long, p long")
+    res = birank(e, spark.range(3), spark.range(2), threshold=1e-8, max_iter=200)
+    assert res.iterations < 200
+    assert res.metrics_history[-1]["l1_delta"] <= 1e-8
+
+
+def _brute_apsp(n, edges):
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {}
+    for r in range(n):
+        dd = {r: 0}
+        q = deque([r])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dd:
+                    dd[w] = dd[u] + 1
+                    q.append(w)
+        for k, v in dd.items():
+            dist[(r, k)] = v
+    return dist
+
+
+def test_all_pairs_distances_and_nf(spark):
+    n, edges = canonical8()
+    g = graph_from_pandas(spark, edges, n)
+    res = all_pairs_distances(g)
+    got = {(r["root"], r["id"]): r["distance"] for r in res.distances.collect()}
+    exp = _brute_apsp(n, edges)
+    assert got == exp
+    nf = {r["r"]: r["pairs"] for r in neighborhood_function(res.distances).collect()}
+    for r in nf:
+        assert nf[r] == sum(1 for d in exp.values() if d <= r)
+
+
+def test_centralities_and_ecc(spark):
+    nn, edges = erdos_renyi(60, 0.06, 9)
+    g = graph_from_pandas(spark, edges, nn)
+    res = all_pairs_distances(g)
+    exp = _brute_apsp(nn, edges)
+    cent = {r["id"]: r for r in geometric_centralities(res.distances, g.vertices).collect()}
+    ecc = {r["id"]: r["ecc"] for r in eccentricities(res.distances, g.vertices).collect()}
+    for v in range(nn):
+        ds = {u: d for (r, u), d in exp.items() if r == v}
+        sum_d = sum(ds.values())
+        assert cent[v]["reachable"] == len(ds)
+        assert cent[v]["sum_dist"] == sum_d
+        harm = sum(1.0 / d for d in ds.values() if d > 0)
+        assert abs(cent[v]["harmonic"] - round(harm, 6)) < 1e-9
+        assert ecc[v] == max(ds.values())
+    r, d = radius_diameter(res.distances, g.vertices)
+    eccs = [max(d2 for (rr, _), d2 in exp.items() if rr == v) if True else 0
+            for v in range(nn)]
+    eccs = [max((dd for (rr, _u), dd in exp.items() if rr == v), default=0)
+            for v in range(nn)]
+    assert (r, d) == (min(eccs), max(eccs))
+
+
+def test_hyperball_tracks_exact_nf(spark):
+    nn, edges = erdos_renyi(300, 0.015, 11)
+    g = graph_from_pandas(spark, edges, nn)
+    exact = all_pairs_distances(g)
+    nf_exact = {r["r"]: r["pairs"] for r in neighborhood_function(exact.distances).collect()}
+    hb = hyperball(g, max_iter=20, rel_tol=1e-4)
+    # estimates within HLL error (256 registers ~ 6.5% std err; allow 15%)
+    for t, est in enumerate(hb.neighborhood_function):
+        if t in nf_exact:
+            assert abs(est - nf_exact[t]) / nf_exact[t] < 0.15, (t, est, nf_exact[t])
+    # final reachable estimates track exact reachable counts
+    reach_exact = {}
+    for r in exact.distances.collect():
+        reach_exact[r["root"]] = reach_exact.get(r["root"], 0) + 1
+    cent = {r["id"]: r["reachable_est"] for r in hb.centralities.collect()}
+    rel = [abs(cent[v] - reach_exact[v]) / reach_exact[v] for v in reach_exact]
+    assert np.mean(rel) < 0.12

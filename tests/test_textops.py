@@ -1,0 +1,261 @@
+"""Text/dedup/similarity/multimodal operators vs pure-python oracles on the
+driver-provided documents/embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+
+def _toks(t: str) -> list[str]:
+    n = _norm(t)
+    return [x for x in n.split(" ") if x] if n else []
+
+
+def _tok_hash(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def test_token_count(spark, docs, docs_pd):
+    from webgraph_rs_spark.textops import token_count
+    from webgraph_rs_spark.textops.textstats import BPE_ISH_PATTERN
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_pieces"])
+           for r in token_count(docs).collect()}
+    pat = re.compile(BPE_ISH_PATTERN)
+    for did, text in docs_pd.items():
+        assert got[did] == (len(_toks(text)), len(pat.findall(text))), did
+
+
+def test_quality_score_ranges_and_formula(spark, docs, docs_pd):
+    from webgraph_rs_spark.textops import quality_score
+
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    sw = {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}
+    for did, text in list(docs_pd.items())[:50]:
+        r = rows[did]
+        toks = _toks(text)
+        assert r["n_tokens"] == len(toks)
+        assert 0.0 <= r["quality"] <= 1.0
+        exp_sw = sum(1 for t in toks if t in sw) / len(toks) if toks else 0.0
+        assert abs(r["stopword_ratio"] - round(exp_sw, 6)) < 1e-9
+
+
+def test_lang_id_stopword_heuristic(spark):
+    from webgraph_rs_spark.textops import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house of it"),
+            (2, "der hund und die katze ist von den haus mit ein"),
+            (3, "il gatto e la casa di che un per non sono con"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "it", 4: "und"}
+
+
+def test_fingerprint_matches_python(spark, docs, docs_pd):
+    from webgraph_rs_spark.textops import fingerprint
+
+    got = {r["doc_id"]: (r["fp_md5"], r["fp_int"]) for r in fingerprint(docs).collect()}
+    for did, text in list(docs_pd.items())[:50]:
+        h = hashlib.md5(_norm(text).encode()).hexdigest()
+        assert got[did] == (h, int(h[:15], 16))
+
+
+def test_rolling_fingerprints(spark):
+    from webgraph_rs_spark.textops.textstats import rolling_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    rows = rolling_fingerprints(df, window=8).collect()
+    assert len(rows) == 3  # positions 0, 1, 2
+    toks = "a b c d e f g h i j".split()
+    for r in rows:
+        exp = int(hashlib.md5(" ".join(toks[r["pos"]:r["pos"] + 8]).encode())
+                  .hexdigest()[:15], 16)
+        assert r["fp"] == exp
+
+
+def test_exact_dedup(spark):
+    from webgraph_rs_spark.textops import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keeper"] for r in exact_dedup(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1}
+
+
+def _jaccard3(a: str, b: str) -> float:
+    def sh(t):
+        toks = _toks(t)
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_ngram_jaccard_pairs(spark, docs, docs_pd):
+    from webgraph_rs_spark.textops import ngram_jaccard_pairs
+
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    # brute-force oracle over all pairs
+    items = sorted(docs_pd.items())
+    exp = {}
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            jac = _jaccard3(items[i][1], items[j][1])
+            if round(jac, 6) >= 0.2:
+                exp[(items[i][0], items[j][0])] = round(jac, 6)
+    assert got == exp
+
+
+def test_minhash_lsh_recall(spark, docs, docs_pd):
+    from webgraph_rs_spark.textops import minhash_lsh_pairs
+
+    got = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    items = sorted(docs_pd.items())
+    true_pairs = set()
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            if _jaccard3(items[i][1], items[j][1]) >= 0.5:
+                true_pairs.add((items[i][0], items[j][0]))
+    # verified LSH pairs are a subset of true pairs (verification is exact);
+    # recall should be high for >= 0.5 similarity with 4 bands x 4 rows
+    assert got <= true_pairs
+    if true_pairs:
+        assert len(got) / len(true_pairs) >= 0.8
+
+
+def test_simhash_bits_and_near_dups(spark):
+    from webgraph_rs_spark.textops import simhash, simhash_near_dups
+    from webgraph_rs_spark.textops.dedup import SIMHASH_BITS
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "alpha beta gamma delta epsilon eta"),   # 1 token swap
+            (4, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    # python oracle
+    for did, text in [(1, "alpha beta gamma delta epsilon zeta")]:
+        votes = [0] * SIMHASH_BITS
+        for tok in set(_toks(text)):
+            h = _tok_hash(tok)
+            for i in range(SIMHASH_BITS):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        exp = sum(1 << i for i in range(SIMHASH_BITS) if votes[i] > 0)
+        assert sh[did] == exp
+    assert sh[1] == sh[2]
+    nd = {(r["a"], r["b"]): r["hamming"]
+          for r in simhash_near_dups(df, max_hamming=6).collect()}
+    assert nd[(1, 2)] == 0
+    assert (1, 3) in nd  # one-token swap stays within small hamming
+    assert (1, 4) not in nd
+
+
+def test_cosine_topk_vs_numpy(spark):
+    from webgraph_rs_spark.textops import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qids = [0, 1, 2]
+    got = cosine_topk(emb, qids, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rnk"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in qids:
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            s = float(vecs[q] @ v / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)))
+            sims.append((round(s, 6), vid))
+        exp = [vid for s, vid in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        assert by_q[q] == exp, q
+
+
+def test_lsh_ann_recall(spark):
+    from webgraph_rs_spark.textops import cosine_topk, lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = list(range(10))
+    exact = cosine_topk(emb, qids, k=5).collect()
+    approx = lsh_ann_topk(emb, qids, k=5, n_planes=4).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3  # 4 planes = 16 buckets over 500 vectors
+
+
+def test_multimodal_plumbing(spark, docs):
+    from webgraph_rs_spark.textops.multimodal import (
+        decode_image_features,
+        encode_fake_image,
+        resize_images,
+        synthesize_images,
+        FEATURE_BANDS,
+    )
+
+    imgs = synthesize_images(docs.limit(50))
+    feats = decode_image_features(imgs).collect()
+    assert len(feats) == 50
+    for r in feats:
+        did = r["doc_id"]
+        w, h = 16 + did % 48, 16 + (did * 7) % 32
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == 8 + w * h
+        px = np.frombuffer(encode_fake_image(did, w, h)[8:], dtype=np.uint8)
+        assert abs(r["mean_pixel"] - round(float(px.mean()), 6)) < 1e-9
+        assert len(r["features"]) == FEATURE_BANDS
+    # corrupt payload -> NULL metadata, no crash
+    bad = spark.createDataFrame(
+        [(999, bytearray(b"NOPE")), (1000, None)], "doc_id long, image binary"
+    )
+    out = {r["doc_id"]: r["width"] for r in decode_image_features(bad).collect()}
+    assert out == {999: None, 1000: None}
+    # resize regenerates at target dims
+    rz = decode_image_features(resize_images(imgs, 20, 10)).collect()
+    assert all((r["width"], r["height"]) == (20, 10) for r in rz)
+
+
+def test_frame_sample_stub_raises(spark):
+    from webgraph_rs_spark.textops.multimodal import frame_sample
+
+    vid = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, image binary")
+    df = frame_sample(vid)
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,frame_idx:int,frame:binary>"
+    )
+    with pytest.raises(Exception):
+        df.collect()

@@ -15,3 +15,13 @@ from webgraph_rs_spark.algorithms.topsort import (  # noqa: F401
     topological_levels,
     is_acyclic,
 )
+from webgraph_rs_spark.algorithms.birank import birank  # noqa: F401
+from webgraph_rs_spark.algorithms.distances import (  # noqa: F401
+    all_pairs_distances,
+    eccentricities,
+    geometric_centralities,
+    hyperball,
+    neighborhood_function,
+    radius_diameter,
+)
+from webgraph_rs_spark.algorithms.llp import llp, labels_to_ranks, gap_cost  # noqa: F401

@@ -1,0 +1,241 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (the 100 TB rationale, even though tests run on 500-5k docs):
+
+- exact: one groupBy on a 16-byte hash — the cheapest possible shuffle.
+- MinHash+LSH: per-doc signature (map-only) -> band buckets (groupBy on
+  (band, band-hash)) -> candidate pairs only within buckets -> verify. Never
+  computes all-pairs; the only quadratic term is within-bucket, bounded by
+  band tuning.
+- n-gram Jaccard *verification* is a pair-local computation; candidate
+  generation must come from LSH or shared-shingle inverted index (both
+  implemented) — the all-pairs join is the thing this module exists to avoid.
+- SimHash: 32-bit signature; near-dup candidates via exact-match on rotated
+  bands (hamming<=k search by multi-index), verify by hamming distance.
+
+Determinism: token hash = int(md5[:15], 16); MinHash permutations are small
+affine maps modulo a prime, all arithmetic inside long range (mirrored
+exactly by the DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_rs_spark.textops.textstats import tokenize_col, token_hash
+
+# MinHash parameters (small primes keep a*h+b inside long range in every
+# engine; 16 hashes = 4 bands x 4 rows)
+MH_P1 = 1_000_003
+MH_P2 = 999_983
+MH_HASHES = 16
+MH_BANDS = 4
+MH_COEF = [(2 * j + 3, 7919 * (j + 1)) for j in range(MH_HASHES)]
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, keeper): every doc mapped to the min-id doc with identical
+    (md5 of) text. Survivors are rows with doc_id == keeper."""
+    h = df.select(id_col, F.md5(F.col(text_col)).alias("h"))
+    keeper = h.groupBy("h").agg(F.min(id_col).alias("keeper"))
+    return h.join(keeper, "h").select(id_col, "keeper")
+
+
+def _shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle string)."""
+    toks = tokenize_col(F.col(text_col))
+    d = df.select(id_col, toks.alias("_t")).filter(F.size("_t") >= n)
+    idx = F.sequence(F.lit(0), F.size("_t") - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)))
+    return (
+        d.select(id_col, F.explode(grams).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Candidates from the shared-shingle inverted index (docs with zero common
+    shingles can never pass), intersections counted in one groupBy, unioned
+    sizes joined in. Output: (a, b, jaccard) with a < b, jaccard rounded."""
+    sh = _shingles(df, n, text_col, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig array<long>[MH_HASHES]) MinHash over token sets.
+
+    h_small = md5-int(token) % P1; sig_j = min over tokens of
+    (a_j * h_small + b_j) % P2 — all inside long range."""
+    toks = tokenize_col(F.col(text_col))
+    t = df.select(id_col, F.explode(toks).alias("tok")).dropDuplicates(
+        [id_col, "tok"]
+    )
+    h = t.select(id_col, (token_hash(F.col("tok")) % MH_P1).alias("hs"))
+    aggs = [
+        F.min((F.col("hs") * a + b) % MH_P2).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MH_COEF)
+    ]
+    sig = h.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh{j}" for j in range(MH_HASHES)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """LSH banding over MinHash signatures -> candidate pairs -> (optional)
+    exact Jaccard verification on word n-grams.
+
+    Bands of MH_HASHES/MH_BANDS rows; docs colliding in any band become
+    candidates. Output: (a, b, jaccard) for verified pairs (or candidates
+    with jaccard null when verify=False)."""
+    sig = minhash_signatures(df, text_col, id_col)
+    rows = MH_HASHES // MH_BANDS
+    bands = []
+    for bnd in range(MH_BANDS):
+        key = F.concat_ws(
+            "_", *[F.col("sig")[bnd * rows + r].cast("string") for r in range(rows)]
+        )
+        bands.append(
+            sig.select(
+                F.col(id_col), F.lit(bnd).alias("band"), key.alias("bkey")
+            )
+        )
+    allbands = bands[0]
+    for bdf in bands[1:]:
+        allbands = allbands.unionByName(bdf)
+    l = allbands.select(F.col(id_col).alias("a"), "band", "bkey")
+    r = allbands.select(F.col(id_col).alias("b"), "band", "bkey")
+    cand = (
+        l.join(r, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = _shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    pair_sh = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("s2")), "b")
+        .filter(F.col("shingle") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(pair_sh, ["a", "b"], "left")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (F.col("sa") + F.col("sb") - F.coalesce("inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): 32-bit SimHash over token md5 hashes.
+
+    bit_i(doc) = 1 iff sum over distinct tokens of (2*bit_i(h(tok)) - 1) > 0.
+    Expressed as explode(token x bit) -> groupBy sum -> reassemble; stays
+    JVM-side and is exactly mirrored in SQL (integer div/mod bit extraction).
+    """
+    toks = tokenize_col(F.col(text_col))
+    t = (
+        df.select(id_col, F.explode(toks).alias("tok"))
+        .dropDuplicates([id_col, "tok"])
+        .select(id_col, token_hash(F.col("tok")).alias("h"))
+    )
+    bit_cols = [
+        F.sum(F.shiftright(F.col("h"), i) % 2 * 2 - 1).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = t.groupBy(id_col).agg(*bit_cols)
+    sh = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return agg.select(id_col, sh.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Multi-index banding: split the 32 bits into max_hamming+1 chunks — any
+    pair within the distance budget must match exactly on >= 1 chunk
+    (pigeonhole), so candidates come from equality joins on chunks, then the
+    hamming distance is verified via bit_count(xor). Output (a, b, hamming).
+    """
+    s = simhash(df, text_col, id_col)
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    cands = None
+    for c in range(chunks):
+        key = (F.shiftright(F.col("simhash"), c * width) % F.lit(1 << width)).cast(
+            "long"
+        )
+        part = s.select(F.col(id_col), F.lit(c).alias("chunk"), key.alias("ck"),
+                        "simhash")
+        l = part.select(F.col(id_col).alias("a"), "chunk", "ck",
+                        F.col("simhash").alias("ha"))
+        r = part.select(F.col(id_col).alias("b"), "chunk", "ck",
+                        F.col("simhash").alias("hb"))
+        pc = l.join(r, ["chunk", "ck"]).filter(F.col("a") < F.col("b"))
+        cands = pc if cands is None else cands.unionByName(pc)
+    return (
+        cands.select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: query set x corpus cross
+  join with JVM-side `aggregate`/`zip_with` dot products. The baseline, and
+  the correctness oracle for the approximate path. O(|Q| * |C|): fine for
+  small query sets at any corpus size (it is one pass over the corpus per
+  query batch), wrong tool for all-pairs.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: deterministic rational
+  hyperplanes, sign-bit bucket key, candidates restricted to the query's
+  bucket (+ optional multi-probe by flipping one bit), exact re-rank inside
+  the bucket. The scale path: bucket join instead of cross join.
+
+All float math is forced to double with left-fold accumulation so Spark and
+the DuckDB oracle produce bit-identical sums (then rounded for ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Output: (query_id, neighbor_id, cos_sim, rnk), deterministic ties by
+    (rounded sim desc, neighbor id asc)."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long"))
+    )
+
+
+def _plane_component(j: int, i) -> F.Column:
+    """Deterministic rational hyperplane component w[j][i] in [-1, 1):
+    ((1103515245 * (j + 1) + 12345 * (i + 1)) % 1000 - 500) / 500 —
+    integer arithmetic, exact in every engine."""
+    base = 1103515245 * (j + 1)  # python int -> long literal (no int32 overflow)
+    return (
+        ((F.lit(base).cast("long") + F.lit(12345).cast("long") * (i + F.lit(1)))
+         % 1000 - 500)
+        / 500.0
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign-bit key over deterministic random hyperplanes.
+
+    dot_j(v) = sum_i v[i] * w[j][i]; bit_j = 1 if dot_j >= 0;
+    bucket = sum bit_j << j. JVM-side only (aggregate over zip of the vector
+    with index positions)."""
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    bucket = None
+    for j in range(n_planes):
+        dot_j = F.aggregate(
+            F.zip_with(
+                v,
+                idx,
+                lambda x, i: x.cast("double") * _plane_component(j, i),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bit = F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from the query's LSH bucket (plus, with
+    ``multiprobe``, every bucket at hamming distance 1 — the standard
+    recall/cost knob), exact cosine re-rank within. Output like cosine_topk
+    (may differ from exact — that gap IS the approximation; tests measure
+    recall)."""
+    b = lsh_buckets(emb, n_planes, id_col, vec_col)
+    withb = emb.join(b, id_col)
+    q = withb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    c = withb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long"))
+    )

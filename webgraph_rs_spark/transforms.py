@@ -115,6 +115,37 @@ def map_nodes(g: LinkGraph, mapping: DataFrame, dedup: bool = True) -> LinkGraph
     return LinkGraph(canonical_edge_layout(e), v)
 
 
+# ------------------------------------------------------------ arc labels
+# Reference: labeled graphs (Label = (usize, L)), Zip/Left/Right projections
+# (webgraph/src/labels/zip.rs:41, proj.rs:7-15). In the DataFrame model an
+# arc label is just an extra column; zip = join on (src, dst), projections =
+# column select. Kept as named functions so the parity with the reference's
+# label algebra is explicit.
+
+
+def zip_labels(g: LinkGraph, labels: DataFrame) -> LinkGraph:
+    """Attach label column(s) to arcs: ``labels`` has (src, dst, ...cols).
+
+    Reference ``Zip`` — requires both labelings over the same graph; arcs
+    missing from ``labels`` get NULLs (the reference's zip would panic —
+    here the relational semantics are the natural generalization).
+    """
+    e = g.edges.join(labels, ["src", "dst"], "left")
+    return LinkGraph(e, g.vertices, _num_nodes=g._num_nodes)
+
+
+def project_left(g: LinkGraph) -> LinkGraph:
+    """Drop arc labels (reference ``Left`` projection)."""
+    return LinkGraph(
+        g.edges.select("src", "dst"), g.vertices, _num_nodes=g._num_nodes
+    )
+
+
+def project_labels(g: LinkGraph, cols: list[str]) -> DataFrame:
+    """Reference ``Right`` projection: the label side, keyed by arc."""
+    return g.edges.select("src", "dst", *cols)
+
+
 # ---------------------------------------------------------------- checks
 # Reference: cli/src/check/{symm,eq}.rs — invariant assertion jobs.
 
