@@ -836,11 +836,9 @@ def _minhash_sql() -> str:
         for j in range(len(MH_COEF))
     )
     return f"""
-WITH t AS MATERIALIZED (
-  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
-),
+WITH {_shingle_cte()},
 h AS MATERIALIZED (
-  SELECT doc_id, {TOKHASH_SQL.format(tok='tok')} % {MH_P1} AS hs FROM t
+  SELECT doc_id, {TOKHASH_SQL.format(tok='shingle')} % {MH_P1} AS hs FROM sh
 ),
 sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
 {unions}
@@ -893,11 +891,9 @@ def _minhash_lsh_sql(threshold: float = 0.5) -> str:
         for bnd in range(MH_BANDS)
     )
     return f"""
-WITH t AS MATERIALIZED (
-  SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
-),
+WITH {_shingle_cte()},
 h AS MATERIALIZED (
-  SELECT doc_id, {TOKHASH_SQL.format(tok='tok')} % {MH_P1} AS hs FROM t
+  SELECT doc_id, {TOKHASH_SQL.format(tok='shingle')} % {MH_P1} AS hs FROM sh
 ),
 sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
 bands AS MATERIALIZED ({band_rows}),
@@ -906,7 +902,6 @@ cand AS MATERIALIZED (
   FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
   WHERE l.doc_id < r.doc_id
 ),
-{_shingle_cte()},
 inter AS MATERIALIZED (
   SELECT c.a, c.b, count(*) AS i
   FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y

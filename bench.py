@@ -150,6 +150,41 @@ def main() -> int:
 
     timed("bfs", bfs)
 
+    # -- training-data pipeline segments on the documents table
+    docs_holder = {}
+
+    def dedup():
+        from webgraph_rs_spark.textops import exact_dedup, minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+        docs.count()
+        docs_holder["docs"] = docs
+        exact_dedup(docs).count()
+        return minhash_lsh_pairs(docs, threshold=0.5).count()
+
+    timed("dedup_minhash", dedup)
+
+    def textstats():
+        from webgraph_rs_spark.textops import lang_id, quality_score, token_count
+
+        docs = docs_holder.get("docs") or spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        )
+        token_count(docs).agg(F.sum("n_tokens")).collect()
+        quality_score(docs).agg(F.sum("quality")).collect()
+        return lang_id(docs).groupBy("lang_pred").count().collect()
+
+    timed("textstats", textstats)
+
+    def ann():
+        from webgraph_rs_spark.textops import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qids = [int(r["vec_id"]) for r in emb.select("vec_id").limit(20).collect()]
+        return lsh_ann_topk(emb, qids, k=10).count()
+
+    timed("ann_lsh", ann)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",

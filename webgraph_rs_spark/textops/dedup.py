@@ -26,12 +26,28 @@ from pyspark.sql import functions as F
 from webgraph_rs_spark.textops.textstats import tokenize_col, token_hash
 
 # MinHash parameters (small primes keep a*h+b inside long range in every
-# engine; 16 hashes = 4 bands x 4 rows)
+# engine: a < P2 ~ 1e6, h < P1 ~ 1e6 -> a*h < 1e12 << 2^63;
+# 16 hashes = 4 bands x 4 rows).
+# The affine coefficients MUST be large pseudo-random values: tiny slopes
+# make every (a*h + b) mod p monotone in h over most of the range, so all
+# 16 minima collapse to a function of the single min-hash token and LSH
+# banding degenerates to near-all-pairs (observed: 6M candidate pairs from
+# 5k docs). Derived from md5 so Spark/DuckDB/Python agree on the constants.
+import hashlib as _hashlib
+
 MH_P1 = 1_000_003
 MH_P2 = 999_983
 MH_HASHES = 16
 MH_BANDS = 4
-MH_COEF = [(2 * j + 3, 7919 * (j + 1)) for j in range(MH_HASHES)]
+
+
+def _mh_coef(j: int) -> tuple[int, int]:
+    a = int(_hashlib.md5(f"mh_a{j}".encode()).hexdigest()[:12], 16) % (MH_P2 - 1) + 1
+    b = int(_hashlib.md5(f"mh_b{j}".encode()).hexdigest()[:12], 16) % MH_P2
+    return a, b
+
+
+MH_COEF = [_mh_coef(j) for j in range(MH_HASHES)]
 
 SIMHASH_BITS = 32
 
@@ -94,17 +110,17 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sig array<long>[MH_HASHES]) MinHash over token sets.
+    """(id, sig array<long>[MH_HASHES]) MinHash over word n-gram *shingle*
+    sets — the same sets the Jaccard verification uses. (Unigram-token
+    minhash degenerates on small vocabularies: token sets become
+    near-identical across documents even when shingle sets differ.)
 
-    h_small = md5-int(token) % P1; sig_j = min over tokens of
+    h_small = md5-int(shingle) % P1; sig_j = min over shingles of
     (a_j * h_small + b_j) % P2 — all inside long range."""
-    toks = tokenize_col(F.col(text_col))
-    t = df.select(id_col, F.explode(toks).alias("tok")).dropDuplicates(
-        [id_col, "tok"]
-    )
-    h = t.select(id_col, (token_hash(F.col("tok")) % MH_P1).alias("hs"))
+    t = _shingles(df, n, text_col, id_col)
+    h = t.select(id_col, (token_hash(F.col("shingle")) % MH_P1).alias("hs"))
     aggs = [
         F.min((F.col("hs") * a + b) % MH_P2).alias(f"mh{j}")
         for j, (a, b) in enumerate(MH_COEF)
@@ -129,7 +145,7 @@ def minhash_lsh_pairs(
     Bands of MH_HASHES/MH_BANDS rows; docs colliding in any band become
     candidates. Output: (a, b, jaccard) for verified pairs (or candidates
     with jaccard null when verify=False)."""
-    sig = minhash_signatures(df, text_col, id_col)
+    sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
     rows = MH_HASHES // MH_BANDS
     bands = []
     for bnd in range(MH_BANDS):
