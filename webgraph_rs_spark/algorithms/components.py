@@ -63,7 +63,11 @@ def connected_components(
     sym.count()
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
+    parent_cache: list[DataFrame] = []
+
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
+        while parent_cache:  # previous intermediate is materialized by now
+            parent_cache.pop().unpersist()
         nbr_min = (
             sym.join(state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -82,6 +86,7 @@ def connected_components(
             )
         )
         new = new.persist()
+        parent_cache.append(new)
         modified = new.filter(F.col("_chg")).count()
         out = new.select("id", "label")
         return out, {"modified": modified}
@@ -97,6 +102,8 @@ def connected_components(
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
+    while parent_cache:
+        parent_cache.pop().unpersist()
     sym.unpersist()
     return CCResult(res.state, res.iterations, res.metrics_history, res.resumed_from)
 
@@ -161,8 +168,13 @@ def cc_star(
             .dropDuplicates(["src", "dst"])
         )
 
+    parent_cache: list[DataFrame] = []
+
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
+        while parent_cache:
+            parent_cache.pop().unpersist()
         after = _small_star(_large_star(state)).persist()
+        parent_cache.append(after)
         # converged when the canonical edge set is stable
         changed = (
             after.exceptAll(state).limit(1).count()

@@ -66,7 +66,11 @@ def label_propagation(
     edges.count()
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
+    parent_cache: list[DataFrame] = []
+
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
+        while parent_cache:
+            parent_cache.pop().unpersist()
         gathered = edges.join(
             state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
         ).select(
@@ -97,6 +101,7 @@ def label_propagation(
                 ),
             )
         ).persist()
+        parent_cache.append(new)
         modified = new.filter(F.col("_chg")).count()
         return new.select("id", "label"), {"modified": modified}
 
@@ -111,5 +116,7 @@ def label_propagation(
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
+    while parent_cache:
+        parent_cache.pop().unpersist()
     edges.unpersist()
     return LPResult(res.state, res.iterations, res.metrics_history, res.resumed_from)
