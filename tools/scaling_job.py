@@ -41,11 +41,19 @@ def main() -> int:
     from webgraph_rs_spark.graph import LinkGraph, canonical_edge_layout
     from webgraph_rs_spark.algorithms import pagerank
 
+    # FIXED partition count across parallelism levels: scaling the partition
+    # count with cores would change the work decomposition itself (total
+    # per-task overhead, partial-agg compaction), conflating it with the
+    # parallelism variable. 16 partitions covers the 2..32-core sweep; AQE
+    # coalescing is off for the same reason.
     spark = get_spark(
         app_name=f"scaling_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores * 2,
-        extra_conf={"spark.driver.memory": "48g"},
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
 
     base = spark.range(N_NODES).select(F.col("id").alias("src"))
@@ -58,7 +66,7 @@ def main() -> int:
     )
     edges = edges.unionByName(hub).filter(F.col("src") != F.col("dst"))
     t0 = time.monotonic()
-    e = canonical_edge_layout(edges, num_partitions=cores * 2).persist()
+    e = canonical_edge_layout(edges, num_partitions=16).persist()
     m = e.count()
     build_sec = time.monotonic() - t0
     g = LinkGraph(e, spark.range(N_NODES).select("id"), _num_nodes=N_NODES)

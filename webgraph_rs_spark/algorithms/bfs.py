@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from webgraph_rs_spark.driver import release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 # frontiers below this row count are broadcast to skip the shuffle join
@@ -74,9 +75,12 @@ def bfs_distances(
         depth += 1
         n_frontier = nxt.count()
         if n_frontier > 0:
+            old_visited = visited
             visited = visited.unionByName(
                 nxt.withColumn("distance", F.lit(depth).cast("long"))
             ).localCheckpoint()
+            release_state(old_visited)
+        release_state(frontier)
         frontier = nxt
     edges.unpersist()
     return BFSResult(visited, depth)

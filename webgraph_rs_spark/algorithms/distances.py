@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_rs_spark.driver import release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 # ----------------------------------------------------------- exact distances
@@ -76,9 +77,12 @@ def all_pairs_distances(
         depth += 1
         n_frontier = nxt.count()
         if n_frontier > 0:
+            old_visited = visited
             visited = visited.unionByName(
                 nxt.withColumn("distance", F.lit(depth).cast("long"))
             ).localCheckpoint()
+            release_state(old_visited)
+        release_state(frontier)
         frontier = nxt
     edges.unpersist()
     return APSPResult(visited, depth)
@@ -290,6 +294,7 @@ def hyperball(g: LinkGraph, max_iter: int = 64, rel_tol: float = 1e-3) -> HyperB
             new_ball.join(prev_ball.withColumnRenamed("b", "pb"), "id")
             .select("id", (F.col("b") - F.col("pb")).alias("inc"), "b")
         )
+        old_acc = acc
         acc = (
             acc.join(inc, "id")
             .select(
@@ -305,8 +310,10 @@ def hyperball(g: LinkGraph, max_iter: int = 64, rel_tol: float = 1e-3) -> HyperB
             )
             .localCheckpoint()
         )
+        release_state(old_acc)
         prev_ball.unpersist()
         prev_ball = new_ball
+        release_state(state)
         state = new_state
         grew = (total - nf[-1]) / max(nf[-1], 1.0)
         nf.append(total)

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_rs_spark.driver import release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 
@@ -39,6 +40,7 @@ def topological_levels(g: LinkGraph, max_rounds: int = 10_000) -> TopSortResult:
         zero_in = remaining_v.join(has_in, "id", "left_anti").localCheckpoint()
         if zero_in.isEmpty():
             break  # everything left is on/behind a cycle
+        old_levels, old_rv, old_edges = levels, remaining_v, edges
         levels = levels.unionByName(
             zero_in.withColumn("level", F.lit(rounds).cast("long"))
         ).localCheckpoint()
@@ -47,6 +49,8 @@ def topological_levels(g: LinkGraph, max_rounds: int = 10_000) -> TopSortResult:
             zero_in.withColumnRenamed("id", "src"), "src", "left_anti"
         ).localCheckpoint()
         n_remaining = remaining_v.count()
+        for old in (old_levels, old_rv, old_edges, zero_in):
+            release_state(old)
         rounds += 1
     acyclic = n_remaining == 0
     return TopSortResult(levels, rounds, acyclic)

@@ -200,6 +200,29 @@ def _jsonable(v):
         return str(v)
 
 
+def release_state(df: DataFrame | None) -> None:
+    """Fully release a DISCARDED state DataFrame: cache entry AND, when the
+    plan is a localCheckpoint product (LogicalRDD), the checkpoint RDD
+    blocks — ``Dataset.unpersist`` alone leaves those in the block manager,
+    and across hundreds of iterations the leak escalates GC pressure until
+    per-iteration walls blow up (observed: 6s -> 40s within one run).
+
+    The df must never be used again afterwards (its lineage is gone).
+    """
+    if df is None:
+        return
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 - best effort on teardown
+        pass
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.getClass().getName().endswith("LogicalRDD"):
+            analyzed.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 # ---------------------------------------------------------------- the loop
 
 
@@ -280,7 +303,7 @@ def iterate(
         else:
             new_state.count()  # materialize before dropping the parent
         if prev is not None:
-            prev.unpersist()
+            release_state(prev)
         prev = state
         state = new_state
         metrics = dict(
@@ -290,5 +313,5 @@ def iterate(
         if stop.should_stop(it, metrics):
             break
     if prev is not None:
-        prev.unpersist()
+        release_state(prev)
     return IterationResult(state, it, metrics_history, resumed_from)
