@@ -269,16 +269,19 @@ def _q_stats(spark, sf):
     from webgraph_rs_spark.stats import graph_stats
 
     s = graph_stats(lineitem_graph(spark, sf))
+    # every column cast explicitly (long/double) so the driver's value hash
+    # agrees with the oracle's ::BIGINT/::DOUBLE casts (DuckDB sum() yields
+    # HUGEINT and F.lit(int) yields 32-bit INT otherwise)
     return s.select(
-        "nodes",
-        "arcs",
-        "dangling",
-        "sources",
-        "isolated",
-        "max_out_deg",
-        "max_in_deg",
-        F.round("avg_out_deg", 6).alias("avg_out_deg"),
-        "self_loops",
+        F.col("nodes").cast("long").alias("nodes"),
+        F.col("arcs").cast("long").alias("arcs"),
+        F.col("dangling").cast("long").alias("dangling"),
+        F.col("sources").cast("long").alias("sources"),
+        F.col("isolated").cast("long").alias("isolated"),
+        F.col("max_out_deg").cast("long").alias("max_out_deg"),
+        F.col("max_in_deg").cast("long").alias("max_in_deg"),
+        F.round("avg_out_deg", 6).cast("double").alias("avg_out_deg"),
+        F.col("self_loops").cast("long").alias("self_loops"),
     )
 
 
@@ -607,12 +610,12 @@ FROM v LEFT JOIN od ON v.id = od.id LEFT JOIN idg ON v.id = idg.id
         + """
 , d AS (SELECT v.id, coalesce(od.c,0) AS o, coalesce(idg.c,0) AS i
         FROM v LEFT JOIN od ON v.id = od.id LEFT JOIN idg ON v.id = idg.id)
-SELECT count(*) AS nodes, sum(o) AS arcs,
-       sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS dangling,
-       sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS sources,
-       sum(CASE WHEN o = 0 AND i = 0 THEN 1 ELSE 0 END) AS isolated,
-       max(o) AS max_out_deg, max(i) AS max_in_deg,
-       round(avg(o), 6) AS avg_out_deg, 0::BIGINT AS self_loops
+SELECT count(*)::BIGINT AS nodes, sum(o)::BIGINT AS arcs,
+       sum(CASE WHEN o = 0 THEN 1 ELSE 0 END)::BIGINT AS dangling,
+       sum(CASE WHEN i = 0 THEN 1 ELSE 0 END)::BIGINT AS sources,
+       sum(CASE WHEN o = 0 AND i = 0 THEN 1 ELSE 0 END)::BIGINT AS isolated,
+       max(o)::BIGINT AS max_out_deg, max(i)::BIGINT AS max_in_deg,
+       round(avg(o), 6)::DOUBLE AS avg_out_deg, 0::BIGINT AS self_loops
 FROM d
 """,
         "degree_distribution": sym_deg
@@ -820,7 +823,9 @@ def _q_rolling_fp(spark, sf):
     from webgraph_rs_spark.textops.textstats import rolling_fingerprints
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return rolling_fingerprints(docs.limit(100).orderBy("doc_id"), window=8)
+    # orderBy BEFORE limit: select the same 100 docs (smallest doc_ids) the
+    # oracle's ORDER BY doc_id LIMIT 100 selects, under any partitioning
+    return rolling_fingerprints(docs.orderBy("doc_id").limit(100), window=8)
 
 
 def _minhash_sql() -> str:

@@ -17,10 +17,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from webgraph_rs_spark.driver import release_state
-from webgraph_rs_spark.graph import LinkGraph
+from webgraph_rs_spark.graph import LinkGraph, ranked
 
 # frontiers below this row count are broadcast to skip the shuffle join
 BROADCAST_FRONTIER_MAX = 1_000_000
@@ -96,12 +95,12 @@ def bfs_order(g: LinkGraph, roots: list[int]) -> DataFrame:
     """
     res = bfs_distances(g, roots)
     reached = res.distances
+    # unreached nodes rank after every reached one: distance sentinel = +inf
+    # (long max); distributed two-phase ranking — no global window.
     unreached = g.vertices.join(reached.select("id"), "id", "left_anti").withColumn(
-        "distance", F.lit(None).cast("long")
+        "distance", F.lit((1 << 62)).cast("long")
     )
     allv = reached.unionByName(unreached)
-    w = W.orderBy(F.col("distance").asc_nulls_last(), F.col("id").asc())
-    return allv.select(
-        F.col("id").alias("old_id"),
-        (F.row_number().over(w).cast("long") - 1).alias("new_id"),
+    return ranked(allv, ["distance", "id"], rank_col="new_id").select(
+        F.col("id").alias("old_id"), "new_id"
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from webgraph_rs_spark.driver import MaxIter, MetricZero, iterate
+from webgraph_rs_spark.driver import MaxIter, MetricZero, iterate, release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 
@@ -57,19 +57,38 @@ def connected_components(
 ) -> CCResult:
     """Min-label propagation to fixpoint: label'_v = min(label_v, min over
     neighbors). One join + one groupBy (two shuffles) per round; terminates
-    when no label changes (``modified == 0``)."""
+    when no label changes (``modified == 0``).
+
+    Frontier optimization (the reference's ``can_change`` tracking,
+    ``llp/mod.rs:311-321``): labels only decrease, so a node's label can
+    only improve via a neighbor whose label changed LAST round — each round
+    gathers only from last round's changed (id, label) rows instead of
+    rescanning the full edge⋈state join. Exact (monotone lattice), and the
+    per-round states equal the full-rescan ones; at the long-tail of
+    convergence this turns edge-sized scans into frontier-sized ones. Small
+    frontiers are broadcast.
+    """
     spark = g.edges.sparkSession
     sym = _sym_edges(g).repartition("src").persist()
     sym.count()
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
-    parent_cache: list[DataFrame] = []
+    # per-round persisted handles; round k still reads round k-1's frontier,
+    # so handles are released two rounds after creation
+    cache_rounds: list[list[DataFrame]] = []
+    frontier: dict = {"df": None, "n": None}  # changed (id, label) rows
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
-        while parent_cache:  # previous intermediate is materialized by now
-            parent_cache.pop().unpersist()
+        while len(cache_rounds) > 1:
+            for d in cache_rounds.pop(0):
+                release_state(d)
+        src_labels = frontier["df"] if frontier["df"] is not None else state
+        if frontier["n"] is not None and frontier["n"] <= 1_000_000:
+            src_labels = F.broadcast(src_labels)
+        else:
+            src_labels = src_labels.hint("shuffle_hash")
         nbr_min = (
-            sym.join(state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+            sym.join(src_labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -86,10 +105,18 @@ def connected_components(
             )
         )
         new = new.persist()
-        parent_cache.append(new)
-        modified = new.filter(F.col("_chg")).count()
+        # localCheckpoint the frontier: it is carried ACROSS rounds outside
+        # the driver's state truncation, so without it the plan tree doubles
+        # per round (frontier_k references new_k references frontier_{k-1}).
+        changed = (
+            new.filter(F.col("_chg")).select("id", "label").localCheckpoint()
+        )
+        cache_rounds.append([new, changed])
+        modified = changed.count()
+        frontier["df"] = changed if modified > 0 else None
+        frontier["n"] = modified
         out = new.select("id", "label")
-        return out, {"modified": modified}
+        return out, {"modified": modified, "frontier_rows": modified}
 
     stop = MetricZero("modified") | MaxIter(max_iter)
     res = iterate(
@@ -102,8 +129,9 @@ def connected_components(
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
-    while parent_cache:
-        parent_cache.pop().unpersist()
+    while cache_rounds:
+        for d in cache_rounds.pop(0):
+            release_state(d)
     sym.unpersist()
     return CCResult(res.state, res.iterations, res.metrics_history, res.resumed_from)
 
@@ -169,17 +197,25 @@ def cc_star(
         )
 
     parent_cache: list[DataFrame] = []
+    # convergence = stable canonical edge set, detected by an
+    # order-insensitive (count, bit_xor of xxhash64) signature of the
+    # (deduped) edge rows — one scan of the already-persisted new state vs
+    # two exceptAll edge-sized shuffles per round. A signature collision
+    # (2^-64, deterministic inputs) would stop one round early; acceptable.
+    prev_sig: dict = {"v": None}
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
         while parent_cache:
             parent_cache.pop().unpersist()
         after = _small_star(_large_star(state)).persist()
         parent_cache.append(after)
-        # converged when the canonical edge set is stable
-        changed = (
-            after.exceptAll(state).limit(1).count()
-            + state.exceptAll(after).limit(1).count()
-        )
+        row = after.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        sig = (int(row["m"]), int(row["h"] or 0))
+        changed = 0 if sig == prev_sig["v"] else 1
+        prev_sig["v"] = sig
         return after, {"modified": changed}
 
     stop = MetricZero("modified") | MaxIter(max_iter)

@@ -13,12 +13,19 @@ gamma = 0 reduces the objective to plain majority-vote label propagation
 (Raghavan et al. 2007); gamma > 0 penalizes large-volume labels exactly as
 the reference's objective. The frontier optimization mirrors the reference's
 ``can_change`` tracking (``mod.rs:311-321``): a node is re-evaluated only if
-a neighbor changed label last round — implemented as a semi-join, broadcast
-when the frontier is small.
+a neighbor changed label last round — the affected-node set is a semi-join
+of the edge table against last round's changed ids (broadcast when the
+frontier is small), and only the in-edges of affected nodes are gathered.
+For gamma = 0 this is EXACT (an unaffected node's neighbor counts are
+unchanged, so its argmax is unchanged); for gamma > 0 it is the same
+approximation the reference makes — volume shifts alone do not requeue a
+node whose neighborhood is quiet.
 
 Per round: edges ⋈ labels (shuffle-free on the persisted edge side) ->
-groupBy(dst, label) count -> window argmax -> join volumes. Two-three
-shuffles per round, all on vertex-sized tables except the gather.
+groupBy(dst, label) count -> window argmax (partitioned by id) -> join
+volumes. Two-three shuffles per round, all on vertex-sized tables except
+the gather — and the gather shrinks to the frontier's in-neighborhood at
+the convergence tail.
 """
 
 from __future__ import annotations
@@ -29,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from webgraph_rs_spark.driver import MaxIter, MetricZero, iterate
+from webgraph_rs_spark.driver import MaxIter, MetricZero, iterate, release_state
 from webgraph_rs_spark.graph import LinkGraph
 from webgraph_rs_spark.algorithms.components import _sym_edges
 
@@ -66,12 +73,34 @@ def label_propagation(
     edges.count()
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
-    parent_cache: list[DataFrame] = []
+    # round k still reads round k-1's frontier — release two rounds later
+    cache_rounds: list[list[DataFrame]] = []
+    frontier: dict = {"df": None, "n": None}  # changed ids from last round
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
-        while parent_cache:
-            parent_cache.pop().unpersist()
-        gathered = edges.join(
+        while len(cache_rounds) > 1:
+            for d in cache_rounds.pop(0):
+                release_state(d)
+        fr = frontier["df"]
+        if fr is None:
+            sub_edges = edges
+        else:
+            fr_src = fr.withColumnRenamed("id", "src")
+            if frontier["n"] is not None and frontier["n"] <= 1_000_000:
+                fr_src = F.broadcast(fr_src)
+            # nodes with >= 1 changed in-neighbor are the only ones whose
+            # neighbor-label counts changed; gather ALL their in-edges
+            affected = (
+                edges.join(fr_src, "src", "left_semi")
+                .select(F.col("dst"))
+                .distinct()
+            )
+            # affected is bounded by the frontier's out-neighborhood —
+            # broadcast only while the frontier itself is small
+            if frontier["n"] is not None and frontier["n"] <= 100_000:
+                affected = F.broadcast(affected)
+            sub_edges = edges.join(affected, "dst", "left_semi")
+        gathered = sub_edges.join(
             state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
         ).select(
             F.col("dst").alias("id"), "label"
@@ -101,9 +130,17 @@ def label_propagation(
                 ),
             )
         ).persist()
-        parent_cache.append(new)
-        modified = new.filter(F.col("_chg")).count()
-        return new.select("id", "label"), {"modified": modified}
+        # localCheckpoint: the frontier crosses rounds outside the driver's
+        # state truncation — without it the plan tree doubles per round
+        changed = new.filter(F.col("_chg")).select("id").localCheckpoint()
+        cache_rounds.append([new, changed])
+        modified = changed.count()
+        frontier["df"] = changed if modified > 0 else None
+        frontier["n"] = modified
+        return new.select("id", "label"), {
+            "modified": modified,
+            "frontier_rows": modified,
+        }
 
     stop = MetricZero("modified") | MaxIter(max_iter)
     res = iterate(
@@ -116,7 +153,8 @@ def label_propagation(
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
-    while parent_cache:
-        parent_cache.pop().unpersist()
+    while cache_rounds:
+        for d in cache_rounds.pop(0):
+            release_state(d)
     edges.unpersist()
     return LPResult(res.state, res.iterations, res.metrics_history, res.resumed_from)

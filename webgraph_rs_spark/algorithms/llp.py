@@ -5,12 +5,19 @@ Reference: ``algo/src/llp/mod.rs`` — per gamma, label propagation with the
 objective ``(1+gamma)*count - gamma*volume`` (mod.rs:346-375, our
 synchronous variant lives in labelprop.py); per-gamma labelings are scored
 by the *log-gap cost* of the permutation they induce (``gap_cost.rs:18-50``)
-and combined best-cost-first with repeated recombination (mod.rs:601-671);
-``labels_to_ranks`` (mod.rs:686-692) turns the final labeling into the
-locality-improving permutation used to relabel the graph before
-(re)compression — in this engine, before the parquet rewrite
-(``io.recompress``), since sorted (src, dst) after an LLP relabel is what
-makes parquet delta encoding approximate BV compression.
+and combined best-cost-first with REPEATED recombination (mod.rs:601-671:
+the reference keeps re-running the combine pass against the running best
+until no labeling improves it); ``labels_to_ranks`` (mod.rs:686-692) turns
+the final labeling into the locality-improving permutation used to relabel
+the graph before (re)compression — in this engine, before the parquet
+rewrite (``io.recompress``), since sorted (src, dst) after an LLP relabel is
+what makes parquet delta encoding approximate BV compression.
+
+Scale notes: every ranking step here uses the distributed two-phase ranking
+(``graph.ranked``) — no single-partition global windows anywhere on the
+permutation path; the combine's dense-rank over (l1, l2) pairs runs over the
+*distinct pair* table (bounded by the number of clusters squared, far below
+the vertex count).
 """
 
 from __future__ import annotations
@@ -19,9 +26,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
-from webgraph_rs_spark.graph import LinkGraph
+from webgraph_rs_spark.graph import LinkGraph, ranked
 from webgraph_rs_spark.algorithms.labelprop import label_propagation
 
 
@@ -30,14 +36,11 @@ def labels_to_ranks(labels: DataFrame) -> DataFrame:
     (label, id) get consecutive ranks — nodes sharing a label become
     adjacent (reference ``labels_to_ranks``).
 
-    Global window is fine for the test scale; the two-phase distributed
-    ranking of ``graph.dense_ids`` is the drop-in at 10^12 nodes (rank over
-    a composite range partition of (label, id)).
+    Distributed two-phase ranking over the composite (label, id) key — ids
+    are unique so the rank is deterministic; no global window.
     """
-    w = W.orderBy("label", "id")
-    return labels.select(
-        F.col("id").alias("old_id"),
-        (F.row_number().over(w).cast("long") - 1).alias("new_id"),
+    return ranked(labels, ["label", "id"], rank_col="new_id").select(
+        F.col("id").alias("old_id"), "new_id"
     )
 
 
@@ -58,6 +61,22 @@ def gap_cost(g: LinkGraph, perm: DataFrame) -> float:
     return float(row["c"] or 0.0)
 
 
+def combine_labelings(base: DataFrame, refine: DataFrame) -> DataFrame:
+    """Refine ``base`` by ``refine``: nodes get a dense label per distinct
+    (base_label, refine_label) pair (reference ``combine``, mod.rs:643-671).
+
+    The dense rank runs over the DISTINCT pair table (cluster-count sized,
+    not vertex sized) via the distributed ranking, then joins back.
+    """
+    pair = base.select("id", F.col("label").alias("l1")).join(
+        refine.select("id", F.col("label").alias("l2")), "id"
+    )
+    dense = ranked(
+        pair.select("l1", "l2").distinct(), ["l1", "l2"], rank_col="label"
+    )
+    return pair.join(dense, ["l1", "l2"]).select("id", "label")
+
+
 @dataclass
 class LLPResult:
     permutation: DataFrame  # (old_id, new_id)
@@ -71,11 +90,19 @@ def llp(
     gammas: tuple[float, ...] = (0.0, 0.25, 0.5, 1.0),
     iters_per_gamma: int = 10,
     checkpoint_dir: str | None = None,
+    max_combine_passes: int = 4,
 ) -> LLPResult:
     """Run LP per gamma, score each labeling by gap cost, then combine
-    best-cost-first: each next labeling refines the current one via a
-    dense-rank over (current_label, next_label) pairs (reference ``combine``,
-    mod.rs:643-671) and is kept only if the gap cost improves."""
+    best-cost-first with repeated recombination: passes over the candidate
+    labelings keep refining the running best (keep-if-improved) until a full
+    pass improves nothing or ``max_combine_passes`` is hit (reference
+    ``combine`` loop, mod.rs:601-671).
+
+    Cache discipline: per-gamma labelings and losing combinations are
+    unpersisted before returning; the returned permutation and winning
+    labeling stay materialized (caller owns those handles).
+    """
+    owned: list[DataFrame] = []
     per_gamma: list[tuple[float, DataFrame, float]] = []
     for gamma in gammas:
         lab = label_propagation(
@@ -85,6 +112,7 @@ def llp(
             checkpoint_dir=checkpoint_dir,
             job=f"llp_g{gamma}",
         ).labels.persist()
+        owned.append(lab)
         cost = gap_cost(g, labels_to_ranks(lab))
         per_gamma.append((gamma, lab, cost))
     per_gamma.sort(key=lambda t: t[2])
@@ -92,17 +120,21 @@ def llp(
 
     best_lab = per_gamma[0][1]
     best_cost = per_gamma[0][2]
-    for _gamma, lab, _c in per_gamma[1:]:
-        pair = best_lab.select("id", F.col("label").alias("l1")).join(
-            lab.select("id", F.col("label").alias("l2")), "id"
-        )
-        w = W.orderBy("l1", "l2")
-        combined = pair.select(
-            "id", (F.dense_rank().over(w).cast("long") - 1).alias("label")
-        ).persist()
-        cost = gap_cost(g, labels_to_ranks(combined))
-        if cost < best_cost:
-            best_lab, best_cost = combined, cost
+    candidates = [lab for _gamma, lab, _c in per_gamma[1:]]
+    for _pass in range(max_combine_passes):
+        improved = False
+        for lab in candidates:
+            combined = combine_labelings(best_lab, lab).persist()
+            owned.append(combined)
+            cost = gap_cost(g, labels_to_ranks(combined))
+            if cost < best_cost:
+                best_lab, best_cost = combined, cost
+                improved = True
+        if not improved:
+            break
     perm = labels_to_ranks(best_lab).persist()
     perm.count()
+    for df in owned:
+        if df is not best_lab:
+            df.unpersist()
     return LLPResult(perm, best_lab, gamma_costs, best_cost)

@@ -43,15 +43,20 @@ def _oriented_edges(g: LinkGraph) -> DataFrame:
     ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 
-def triangle_wedges(g: LinkGraph) -> DataFrame:
+def triangle_wedges(g: LinkGraph, oriented: DataFrame | None = None) -> DataFrame:
     """Closed wedges: one row (a, b, c) per triangle, a = orientation-min,
     b < c by node id.
 
     The pivot side uses the degree orientation (bounds wedge blow-up at
     hubs); the closing edge is checked against the *id-canonical* undirected
     edge set, since the wedge endpoints are ordered by id, not degree.
+
+    Does NOT persist: the oriented edge table is scanned three times, so
+    callers that run an action should pass a persisted ``oriented`` table
+    (as :func:`triangle_count` / :func:`triangles_per_vertex` do) and own
+    its release — no cache handle escapes this module.
     """
-    e = _oriented_edges(g).persist()
+    e = oriented if oriented is not None else _oriented_edges(g)
     w = (
         e.alias("x")
         .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
@@ -65,12 +70,22 @@ def triangle_wedges(g: LinkGraph) -> DataFrame:
 
 
 def triangle_count(g: LinkGraph) -> int:
-    return triangle_wedges(g).count()
+    e = _oriented_edges(g).persist()
+    try:
+        return triangle_wedges(g, oriented=e).count()
+    finally:
+        e.unpersist()
 
 
 def triangles_per_vertex(g: LinkGraph) -> DataFrame:
-    """(id, triangles) — number of triangles each vertex participates in."""
-    t = triangle_wedges(g)
+    """(id, triangles) — number of triangles each vertex participates in.
+
+    The returned (vertex-sized) DataFrame is persisted and materialized so
+    the edge-sized intermediates can be released before returning; the
+    caller owns the handle (``.unpersist()`` when done).
+    """
+    e = _oriented_edges(g).persist()
+    t = triangle_wedges(g, oriented=e)
     per = (
         t.select(F.col("a").alias("id"))
         .unionAll(t.select(F.col("b").alias("id")))
@@ -78,7 +93,11 @@ def triangles_per_vertex(g: LinkGraph) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    out = (
         g.vertices.join(per, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+        .persist()
     )
+    out.count()  # materialize the (vertex-sized) result, then free the edges
+    e.unpersist()
+    return out

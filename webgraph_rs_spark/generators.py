@@ -77,12 +77,13 @@ def pref_attach_like(
 
 def random_permutation(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """``perm rand``: a seeded random bijection (old_id, new_id) — rank of a
-    deterministic hash draw (ties broken by id => always a bijection)."""
-    from pyspark.sql import Window as W
+    deterministic hash draw (ties broken by id => always a bijection).
+    Distributed two-phase ranking (``graph.ranked``) — no global window."""
+    from webgraph_rs_spark.graph import ranked
 
-    h = F.xxhash64(F.lit(seed), F.col("id"))
-    w = W.orderBy(h.asc(), F.col("id").asc())
-    return spark.range(n).select(
-        F.col("id").alias("old_id"),
-        (F.row_number().over(w).cast("long") - 1).alias("new_id"),
+    base = spark.range(n).select(
+        "id", F.xxhash64(F.lit(seed), F.col("id")).alias("_h")
+    )
+    return ranked(base, ["_h", "id"], rank_col="new_id").select(
+        F.col("id").alias("old_id"), "new_id"
     )

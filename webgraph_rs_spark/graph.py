@@ -178,27 +178,34 @@ def from_arc_list(
     return from_edges(spark, arcs)
 
 
-def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None) -> DataFrame:
-    """Assign dense ids 0..n-1 to distinct values of ``col``, in sorted order.
+def ranked(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append global contiguous ranks 0..n-1 (ascending ``order_cols``
+    lexicographic order) WITHOUT a single-partition global window — the
+    scale-safe replacement for ``row_number().over(Window.orderBy(...))``,
+    which serializes the whole table through one task at 10^12 rows.
 
-    Fully distributed two-phase ranking (no single-partition global window,
-    which would serialize at 10^12 urls):
+    Fully distributed two-phase ranking:
 
-    1. range-partition + sort the distinct values;
-    2. row_number within each partition;
+    1. range-partition + sort by the key columns;
+    2. row_number within each partition (window is per-partition);
     3. add per-partition cumulative offsets (a tiny driver-side cumsum over
-       partition counts, broadcast back).
+       the partition-count table, broadcast back).
 
-    Deterministic: the value -> id mapping is its global sorted rank
-    regardless of how range sampling places partition boundaries.
+    Deterministic whenever rows are unique on ``order_cols`` (ties would be
+    resolved by physical placement — callers must pass a tie-breaking
+    column). Null keys must be pre-replaced with sentinels by the caller.
     """
     spark = df.sparkSession
-    vals = df.select(F.col(col).alias("name")).distinct()
     if num_partitions:
-        vals = vals.repartitionByRange(num_partitions, "name")
+        vals = df.repartitionByRange(num_partitions, *order_cols)
     else:
-        vals = vals.repartitionByRange("name")
-    vals = vals.sortWithinPartitions("name").withColumn(
+        vals = df.repartitionByRange(*order_cols)
+    vals = vals.sortWithinPartitions(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     part_counts = (
@@ -210,14 +217,27 @@ def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None) -> Dat
         offsets[r["_pid"]] = acc
         acc += r["cnt"]
     off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
     )
-    w = W.partitionBy("_pid").orderBy("name")
+    w = W.partitionBy("_pid").orderBy(*order_cols)
     return (
         vals.withColumn("_rn", F.row_number().over(w).cast("long"))
         .join(F.broadcast(off_df), "_pid")
-        .select("name", (F.col("_off") + F.col("_rn") - 1).alias("id"))
+        .withColumn(rank_col, F.col("_off") + F.col("_rn") - 1)
+        .drop("_pid", "_rn", "_off")
     )
+
+
+def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None) -> DataFrame:
+    """Assign dense ids 0..n-1 to distinct values of ``col``, in sorted order.
+
+    Distinct values are unique by construction, so :func:`ranked` needs no
+    tie-breaker. Deterministic: the value -> id mapping is its global sorted
+    rank regardless of how range sampling places partition boundaries.
+    """
+    vals = df.select(F.col(col).alias("name")).distinct()
+    return ranked(vals, ["name"], rank_col="id", num_partitions=num_partitions)
 
 
 def intern_labels(arcs: DataFrame, src: str = "src", dst: str = "dst") -> tuple[DataFrame, DataFrame]:

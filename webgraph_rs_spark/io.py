@@ -33,9 +33,13 @@ def write_graph(g: LinkGraph, path: str, num_partitions: int | None = None) -> d
     edges = canonical_edge_layout(g.edges, num_partitions)
     edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
     g.vertices.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
-    # checksum: order-insensitive xor-style aggregate over edge hashes
+    # checksum: order-insensitive xor-style aggregate over edge hashes,
+    # computed from the RE-READ parquet — i.e. from exactly the stored,
+    # canonicalized (deduped, long-cast) edge set, so a graph built directly
+    # with duplicate or non-long arcs still validates on read_graph.
+    stored = edges.sparkSession.read.parquet(os.path.join(path, "edges"))
     chk = (
-        g.edges.select(
+        stored.select(
             F.expr("bit_xor(xxhash64(src, dst))").alias("s"),
             F.count(F.lit(1)).alias("m"),
         ).collect()[0]

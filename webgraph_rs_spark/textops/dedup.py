@@ -78,22 +78,58 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
     Candidates from the shared-shingle inverted index (docs with zero common
     shingles can never pass), intersections counted in one groupBy, unioned
-    sizes joined in. Output: (a, b, jaccard) with a < b, jaccard rounded."""
+    sizes joined in. Output: (a, b, jaccard) with a < b, jaccard rounded.
+
+    ``max_df``: document-frequency cap for the inverted index — shingles
+    shared by more than ``max_df`` documents are excluded from CANDIDATE
+    GENERATION (a single stop-shingle shared by 10^8 docs otherwise makes
+    the self-join quadratic at web scale). Jaccard is then re-verified on
+    the FULL shingle sets of surviving candidates, so reported values stay
+    exact; only recall is traded (pairs sharing exclusively hot shingles are
+    missed — by design). Default None = exact inverted index (oracle mode).
+
+    The returned pair table is persisted + materialized so the shingle
+    intermediates can be released before returning; caller owns the handle.
+    """
     sh = _shingles(df, n, text_col, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    if max_df is None:
+        idx = sh
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("dfq"))
+            .filter(F.col("dfq") > max_df)
+            .select("shingle")
+        )
+        idx = sh.join(hot, "shingle", "left_anti")
+    a = idx.select(F.col(id_col).alias("a"), "shingle")
+    b = idx.select(F.col(id_col).alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if max_df is not None:
+        # exact intersection over FULL shingle sets for the candidates only
+        cand = inter.select("a", "b")
+        inter = (
+            cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+            .join(
+                sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("s2")),
+                "b",
+            )
+            .filter(F.col("shingle") == F.col("s2"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
@@ -105,7 +141,10 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .persist()
     )
+    out.count()
+    sh.unpersist()
     return out
 
 
