@@ -75,6 +75,12 @@ SQL_V = "SELECT range::BIGINT AS id FROM range(1024)"
 SQL_SYM = (
     "SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e"
 )
+SQL_FUNC_EDGES = (
+    "SELECT DISTINCT l_orderkey % 1024 AS src, "
+    "((l_orderkey % 1024) * (l_orderkey % 1024) * 3 + 5) % 1024 AS dst "
+    "FROM lineitem WHERE l_orderkey % 1024 != "
+    "((l_orderkey % 1024) * (l_orderkey % 1024) * 3 + 5) % 1024"
+)
 
 # ---------------------------------------------------------------- SQL builders
 
@@ -174,6 +180,53 @@ def _bfs_sql(iters: int = BFS_ITERS) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, distance FROM d{iters}")
     return "\n".join(parts)
+
+
+def _scc_sql(edges_sql: str, renumber: bool = False) -> str:
+    """True SCC labels (min member id) via the reachability transitive
+    closure as a recursive CTE — tractable at the 1024-node gate scale and
+    a *ground-truth* oracle (no fixed-iteration approximation): the Spark
+    side runs trim+coloring to its own data-dependent fixpoint."""
+    base = f"""
+WITH RECURSIVE e AS ({edges_sql}),
+v AS ({SQL_V}),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+mutual AS (
+  SELECT r1.src AS a, min(r1.dst) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+  GROUP BY r1.src
+),
+fin AS (
+  SELECT v.id, least(v.id, coalesce(m.mn, v.id))::BIGINT AS label
+  FROM v LEFT JOIN mutual m ON v.id = m.a
+)
+"""
+    if not renumber:
+        return base + "SELECT id, label FROM fin"
+    return base + """
+, sz AS (SELECT label, count(*) AS size FROM fin GROUP BY label),
+rn AS (SELECT label,
+       (row_number() OVER (ORDER BY size DESC, label ASC) - 1)::BIGINT AS new_label
+       FROM sz)
+SELECT fin.id, rn.new_label AS label FROM fin JOIN rn ON fin.label = rn.label
+"""
+
+
+def _bfs_tree_sql(iters: int = BFS_ITERS) -> str:
+    """Distances (same unrolled rule as bfs_from_0) + min-id predecessor at
+    distance-1 — the deterministic shortest-path-tree convention."""
+    return _bfs_sql(iters).replace(
+        f"SELECT id, distance FROM d{iters}",
+        f""", dist AS (SELECT id, distance FROM d{iters}),
+p AS (SELECT e.dst AS id, min(e.src) AS pred
+      FROM e JOIN dist a ON e.src = a.id JOIN dist b ON e.dst = b.id
+      WHERE a.distance + 1 = b.distance GROUP BY e.dst)
+SELECT dist.id, dist.distance, p.pred FROM dist LEFT JOIN p ON dist.id = p.id""",
+    )
 
 
 SQL_DAG = (
@@ -444,6 +497,44 @@ def _q_bfs(spark, sf):
     return bfs_distances(lineitem_graph(spark, sf), [0]).distances
 
 
+def _q_scc(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph
+    from webgraph_rs_spark.algorithms import strongly_connected_components
+
+    g = functional_graph(spark, sf)
+    return strongly_connected_components(g).labels
+
+
+def _q_scc_dense(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import lineitem_graph
+    from webgraph_rs_spark.algorithms import strongly_connected_components
+
+    g = lineitem_graph(spark, sf)
+    return strongly_connected_components(g).labels
+
+
+def _q_scc_renumbered(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph
+    from webgraph_rs_spark.algorithms import (
+        strongly_connected_components,
+        renumber_by_size,
+    )
+
+    g = functional_graph(spark, sf)
+    return renumber_by_size(strongly_connected_components(g).labels)
+
+
+def _q_bfs_tree(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import lineitem_graph
+    from webgraph_rs_spark.algorithms import bfs_tree
+
+    return bfs_tree(lineitem_graph(spark, sf), [0])
+
+
 def _q_topo(spark, sf):
     _import_engine()
     from webgraph_rs_spark.testgraphs import layered_dag
@@ -582,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_from_0": _q_bfs,
+        "bfs_tree_from_0": _q_bfs_tree,
+        "scc_labels": _q_scc,
+        "scc_labels_dense": _q_scc_dense,
+        "scc_renumbered": _q_scc_renumbered,
         "topo_levels": _q_topo,
         "intern_string_graph": _q_intern,
         "perm_compose": _q_perm_compose,
@@ -662,6 +757,10 @@ SELECT fin.id, rn.new_label AS label FROM fin JOIN rn ON fin.label = rn.label"""
 ) GROUP BY id), v AS ({SQL_V})
 SELECT v.id, coalesce(per.cnt, 0) AS triangles FROM v LEFT JOIN per ON v.id = per.id""",
         "bfs_from_0": _bfs_sql(),
+        "bfs_tree_from_0": _bfs_tree_sql(),
+        "scc_labels": _scc_sql(SQL_FUNC_EDGES),
+        "scc_labels_dense": _scc_sql(SQL_EDGES),
+        "scc_renumbered": _scc_sql(SQL_FUNC_EDGES, renumber=True),
         "topo_levels": _topo_sql(),
         "intern_string_graph": """
 WITH arcs AS (SELECT DISTINCT n_name AS s, r_name AS d

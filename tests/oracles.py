@@ -223,3 +223,53 @@ def star_hub(n: int, dangling_leaves: int = 3) -> tuple[int, list[tuple[int, int
     edges = [(i, 0) for i in range(1, n - dangling_leaves)]
     edges += [(0, n - 1 - i) for i in range(dangling_leaves)]
     return n, edges
+
+
+def kosaraju_scc(n: int, edges: list[tuple[int, int]]) -> np.ndarray:
+    """Min-id SCC label per node — iterative Kosaraju (two sweeps), the
+    pure-Python oracle mirroring the reference's own SCC test strategy
+    (``algo/tests/test_sccs.rs:212-229``: ER graphs checked Tarjan vs
+    Kosaraju)."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+            radj[d].append(s)
+    visited = [False] * n
+    order: list[int] = []
+    for s0 in range(n):
+        if visited[s0]:
+            continue
+        visited[s0] = True
+        stack: list[tuple[int, iter]] = [(s0, iter(adj[s0]))]
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for nxt in it:
+                if not visited[nxt]:
+                    visited[nxt] = True
+                    stack.append((nxt, iter(adj[nxt])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    labels = np.full(n, -1, dtype=np.int64)
+    for s0 in reversed(order):
+        if labels[s0] != -1:
+            continue
+        comp = [s0]
+        labels[s0] = s0
+        dfs = [s0]
+        while dfs:
+            u = dfs.pop()
+            for w in radj[u]:
+                if labels[w] == -1:
+                    labels[w] = s0
+                    comp.append(w)
+                    dfs.append(w)
+        m = min(comp)
+        for u in comp:
+            labels[u] = m
+    return labels

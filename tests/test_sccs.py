@@ -1,0 +1,107 @@
+"""Directed SCC (trim + coloring FW-BW) vs a pure-Python Kosaraju oracle.
+
+Mirrors the reference's own SCC test strategy (``algo/tests/test_sccs.rs``:
+Tarjan checked against Kosaraju on seeded ER graphs, plus a golden component
+count on cnr-2000 at ``:196-198`` — here the pref-attach fixture plays the
+cnr role, see FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from webgraph_rs_spark.graph import graph_from_pandas, from_edges
+from webgraph_rs_spark.generators import erdos_renyi, pref_attach_like
+from webgraph_rs_spark.algorithms import (
+    strongly_connected_components,
+    condensation,
+    is_acyclic,
+    renumber_by_size,
+)
+from tests.oracles import kosaraju_scc
+
+
+def _labels_dict(res):
+    return {r["id"]: r["label"] for r in res.labels.collect()}
+
+
+def test_scc_cycle_with_tendrils(spark):
+    # 4-cycle {0,1,2,3}; in-tendril 4->5->0; out-tendril 3->6->7
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 0), (3, 6), (6, 7)]
+    g = graph_from_pandas(spark, edges, 8)
+    got = _labels_dict(strongly_connected_components(g))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 7}
+
+
+def test_scc_two_cycles_bridge(spark):
+    # two 3-cycles joined by a one-way bridge: distinct SCCs
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    g = graph_from_pandas(spark, edges, 6)
+    got = _labels_dict(strongly_connected_components(g))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    # back edge merges them into one SCC
+    g2 = graph_from_pandas(spark, edges + [(5, 1)], 6)
+    got2 = _labels_dict(strongly_connected_components(g2))
+    assert set(got2.values()) == {0}
+
+
+def test_scc_chain_all_singletons(spark):
+    edges = [(i, i + 1) for i in range(11)]
+    g = graph_from_pandas(spark, edges, 12)
+    got = _labels_dict(strongly_connected_components(g))
+    assert got == {i: i for i in range(12)}
+
+
+@pytest.mark.parametrize(
+    "n,p,seed",
+    [
+        (60, 0.05, 1),  # np=3: giant SCC regime
+        (120, 0.02, 2),  # np=2.4
+        (200, 0.006, 3),  # np=1.2: fragmented, many small SCCs
+    ],
+)
+def test_scc_er_vs_kosaraju(spark, n, p, seed):
+    g = erdos_renyi(spark, n, p, seed=seed)
+    edges = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    exp = kosaraju_scc(n, edges)
+    got = _labels_dict(strongly_connected_components(g))
+    assert len(got) == n
+    mism = {i: (got[i], int(exp[i])) for i in range(n) if got[i] != exp[i]}
+    assert not mism, f"{len(mism)} mismatches, first: {list(mism.items())[:5]}"
+
+
+def test_scc_condensation_is_acyclic_and_renumber(spark):
+    g = erdos_renyi(spark, 80, 0.04, seed=9)
+    res = strongly_connected_components(g)
+    cond = condensation(g, res.labels)
+    comp_ids = res.labels.select(res.labels.label.alias("id")).distinct()
+    cg = from_edges(spark, cond, vertices=comp_ids)
+    assert is_acyclic(cg)
+    # renumber-by-size: labels 0..k-1, label 0 = the largest component
+    ren = renumber_by_size(res.labels)
+    sizes = {
+        r["label"]: r["cnt"]
+        for r in ren.groupBy("label").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert set(sizes) == set(range(len(sizes)))
+    ordered = [sizes[k] for k in sorted(sizes)]
+    assert ordered == sorted(ordered, reverse=True)
+
+
+def test_scc_golden_pref_attach(spark):
+    """Golden: component census of the deterministic pref-attach fixture
+    (the cnr-2000-style graph of FIXTURES.md §3) matches the Kosaraju
+    oracle computed on the collected edge list."""
+    g = pref_attach_like(spark, 1500, out_deg=4, seed=7)
+    edges = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    exp = kosaraju_scc(1500, edges)
+    import numpy as np
+
+    exp_n_comp = len(np.unique(exp))
+    exp_giant = int(np.bincount(exp).max())
+    res = strongly_connected_components(g)
+    got_n = res.labels.select("label").distinct().count()
+    got_giant = (
+        res.labels.groupBy("label").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert (got_n, got_giant) == (exp_n_comp, exp_giant)

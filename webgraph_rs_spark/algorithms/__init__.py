@@ -10,7 +10,15 @@ from webgraph_rs_spark.algorithms.triangles import (  # noqa: F401
     triangle_count,
     triangles_per_vertex,
 )
-from webgraph_rs_spark.algorithms.bfs import bfs_distances, bfs_order  # noqa: F401
+from webgraph_rs_spark.algorithms.bfs import (  # noqa: F401
+    bfs_distances,
+    bfs_order,
+    bfs_tree,
+)
+from webgraph_rs_spark.algorithms.sccs import (  # noqa: F401
+    strongly_connected_components,
+    condensation,
+)
 from webgraph_rs_spark.algorithms.topsort import (  # noqa: F401
     topological_levels,
     is_acyclic,

@@ -85,6 +85,38 @@ def bfs_distances(
     return BFSResult(visited, depth)
 
 
+def bfs_tree(
+    g: LinkGraph,
+    roots: list[int] | DataFrame,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Shortest-path forest: (id, distance, pred) for every reached node.
+
+    ``pred`` is the minimum-id in-neighbor at distance-1 (deterministic
+    tie-break); roots have pred NULL. This is the reference's BFS event
+    stream ``Visit{node, pred, distance}``
+    (``webgraph/src/visits/breadth_first/mod.rs:30-183``) materialized as a
+    table — the min-pred convention makes the tree unique, so downstream
+    shortest-path extraction is reproducible. One extra edge-scan join after
+    the distance computation (pred(v) depends only on final distances).
+    """
+    d = bfs_distances(g, roots, max_depth=max_depth).distances
+    preds = (
+        g.edges.join(
+            d.select(F.col("id").alias("src"), F.col("distance").alias("ds")),
+            "src",
+        )
+        .join(
+            d.select(F.col("id").alias("dst"), F.col("distance").alias("dd")),
+            "dst",
+        )
+        .filter(F.col("ds") + 1 == F.col("dd"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("pred"))
+    )
+    return d.join(preds, "id", "left").select("id", "distance", "pred")
+
+
 def bfs_order(g: LinkGraph, roots: list[int]) -> DataFrame:
     """BFS visit order as a permutation (old_id, new_id).
 

@@ -49,6 +49,22 @@ def orders_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return from_edges(spark, edges, num_nodes=N_NODES)
 
 
+def functional_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Sparse rho-shaped graph: one out-edge per present node,
+    ``dst = (3*src^2 + 5) % N`` (non-invertible squaring map) — a disjoint
+    union of cycles with in-trees hanging off them. Exercises directed-SCC
+    structure: the cycles are the nontrivial SCCs, everything else trims."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = F.col("l_orderkey") % N_NODES
+    d = (s * s * 3 + 5) % N_NODES
+    edges = (
+        li.select(s.alias("src"), d.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return from_edges(spark, edges, num_nodes=N_NODES)
+
+
 def layered_dag(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """A 4-layer DAG over 0..55 derived from orders (for topo-level tests):
     layer0 0..31 -> layer1 32..39 -> layer2 40..43 -> layer3 44..45."""
@@ -78,6 +94,12 @@ SQL_EDGES2 = (
     "FROM orders WHERE o_orderkey % 1024 != o_custkey % 1024"
 )
 SQL_VERTICES = "SELECT range::BIGINT AS id FROM range(1024)"
+SQL_FUNC_EDGES = (
+    "SELECT DISTINCT l_orderkey % 1024 AS src, "
+    "((l_orderkey % 1024) * (l_orderkey % 1024) * 3 + 5) % 1024 AS dst "
+    "FROM lineitem WHERE l_orderkey % 1024 != "
+    "((l_orderkey % 1024) * (l_orderkey % 1024) * 3 + 5) % 1024"
+)
 SQL_DAG = """
 SELECT DISTINCT src, dst FROM (
   SELECT o_custkey % 32 AS src, 32 + o_custkey % 8 AS dst FROM orders
