@@ -1404,33 +1404,66 @@ def _q_radius_diameter(spark, sf):
 
 
 def _q_hyperball(spark, sf):
-    """Approximate — no SQL oracle (driver records a rows-only check);
-    accuracy is pinned against the exact neighborhood function in pytest."""
+    """HyperBall estimates gated against the EXACT all-pairs distances on
+    the same graph (the reference's own acceptance criterion: HLL estimates
+    within rigorous error of the true neighborhood function). Sketches are
+    deterministic, so the violation counts are stable; the oracle asserts
+    zero violations at bounds far beyond the lg_k=11 sketch sigma (~2.3%):
+    10% on ball sizes (4.3 sigma), 15% on the accumulated sum-of-distances /
+    harmonic estimates."""
     _import_engine()
-    _ship_package(spark)
     from webgraph_rs_spark.testgraphs import orders_graph
-    from webgraph_rs_spark.algorithms.distances import hyperball
+    from webgraph_rs_spark.algorithms.distances import (
+        all_pairs_distances,
+        geometric_centralities,
+        hyperball,
+    )
 
     g = orders_graph(spark, sf)
     hb = hyperball(g, max_iter=16)
-    return hb.centralities.select(
-        "id",
-        F.round("reachable_est", 4).alias("reachable_est"),
-        F.round("sum_dist_est", 4).alias("sum_dist_est"),
-        F.round("harmonic_est", 4).alias("harmonic_est"),
+    exact = geometric_centralities(
+        all_pairs_distances(g).distances, g.vertices
+    )
+    j = hb.centralities.join(exact, "id")
+    rel = lambda est, ex: F.abs(F.col(est) - F.col(ex)) / F.greatest(  # noqa: E731
+        F.col(ex).cast("double"), F.lit(1.0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("nodes"),
+        F.sum(
+            F.when(rel("reachable_est", "reachable") > 0.10, 1).otherwise(0)
+        ).cast("long").alias("reach_viol"),
+        F.sum(
+            F.when(rel("sum_dist_est", "sum_dist") > 0.15, 1).otherwise(0)
+        ).cast("long").alias("sumdist_viol"),
+        F.sum(
+            F.when(rel("harmonic_est", "harmonic") > 0.15, 1).otherwise(0)
+        ).cast("long").alias("harm_viol"),
     )
 
 
 def _q_llp(spark, sf):
-    """Iterative multi-stage (LP per gamma + combine) — no SQL oracle;
-    permutation validity + gap-cost improvement are pytest-pinned."""
+    """LLP permutation validity, SQL-gated: the permutation must be a
+    bijection onto the contiguous range 0..n-1, and the combined labeling's
+    log-gap cost must not exceed the best single-gamma labeling's (the
+    combine step is keep-if-improved, so this monotonicity is the invariant
+    a regression would break; all costs are deterministic here)."""
     _import_engine()
     from webgraph_rs_spark.testgraphs import orders_graph
     from webgraph_rs_spark.algorithms.llp import llp
 
     g = orders_graph(spark, sf)
     res = llp(g, gammas=(0.0, 0.5), iters_per_gamma=4)
-    return res.permutation
+    improved = bool(
+        res.final_cost <= min(res.gamma_costs.values()) + 1e-6
+    )
+    return res.permutation.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("old_id").cast("long").alias("n_distinct_old"),
+        F.countDistinct("new_id").cast("long").alias("n_distinct_new"),
+        F.min("new_id").cast("long").alias("min_new"),
+        F.max("new_id").cast("long").alias("max_new"),
+    ).withColumn("improved", F.lit(improved))
 
 
 _DIST_QUERIES = {
@@ -1496,4 +1529,18 @@ SELECT min(ecc)::BIGINT AS radius, max(ecc)::BIGINT AS diameter FROM alle
         "geometric_centralities": cent,
         "eccentricities": ecc,
         "radius_diameter": rad,
+        # hyperball/llp: the Spark queries compute their own acceptance
+        # summaries (bounds vs exact distances / bijection+contiguity+cost
+        # monotonicity); the oracles state the required outcome in SQL.
+        "hyperball_centralities": """
+SELECT count(*)::BIGINT AS nodes, 0::BIGINT AS reach_viol,
+       0::BIGINT AS sumdist_viol, 0::BIGINT AS harm_viol
+FROM range(1024)
+""",
+        "llp_permutation": """
+SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct_old,
+       count(*)::BIGINT AS n_distinct_new, 0::BIGINT AS min_new,
+       (count(*) - 1)::BIGINT AS max_new, TRUE AS improved
+FROM range(1024)
+""",
     }

@@ -18,19 +18,16 @@ Spark re-design:
   sources (tests, oracles, ExactSumSweep replacement on small graphs, or a
   sampled source set at scale).
 - :func:`hyperball` — the *scale* path: vertex-state DataFrame with a
-  binary HLL register column; the per-iteration union is a grouped
-  ``applyInPandas`` elementwise-max over successor sketches (self-loops
-  folded in so one grouped pass does counter-union + self-union). Arrow
-  batches only — no per-row Python.
+  binary datasketches-HLL column; the per-iteration union is a JVM-native
+  ``groupBy(src).agg(hll_union_agg)`` over successor sketches (self-loops
+  folded in so one grouped pass does counter-union + self-union), with a
+  systolic frontier mode for the convergence tail. No Python anywhere.
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -161,163 +158,199 @@ def radius_diameter(dist: DataFrame, vertices: DataFrame) -> tuple[int, int]:
 
 # ----------------------------------------------------------------- HyperBall
 
-HLL_P = 8  # 2^8 = 256 registers/node: ~6.5% rel std err, 256 B/node state
-HLL_M = 1 << HLL_P
-_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
-
-
-def _hll_init(ids: np.ndarray) -> list[bytes]:
-    """One-element sketch per node id (the ball at r=0 is {v})."""
-    out = []
-    for i in ids:
-        h = np.uint64(_splitmix64(int(i)))
-        idx = int(h >> np.uint64(64 - HLL_P))
-        rest = (int(h) << HLL_P) & ((1 << 64) - 1)
-        rho = 1 + _clz64(rest)
-        regs = bytearray(HLL_M)
-        regs[idx] = min(rho, 255)
-        out.append(bytes(regs))
-    return out
-
-
-def _splitmix64(x: int) -> int:
-    x = (x + 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
-    return x ^ (x >> 31)
-
-
-def _clz64(x: int) -> int:
-    if x == 0:
-        return 64
-    return 64 - x.bit_length()
-
-
-def _hll_estimate(regs: np.ndarray) -> float:
-    two_neg = np.ldexp(1.0, -regs.astype(np.int64))
-    e = _ALPHA * HLL_M * HLL_M / two_neg.sum()
-    if e <= 2.5 * HLL_M:  # small-range (linear counting) correction
-        zeros = int((regs == 0).sum())
-        if zeros:
-            return HLL_M * math.log(HLL_M / zeros)
-    return float(e)
+HLL_LG_K = 11  # 2^11 registers/node (datasketches HLL): ~2.3% rel std err
 
 
 @dataclass
 class HyperBallResult:
     neighborhood_function: list[float]  # estimate of sum_v |B(v, t)| per t
-    centralities: DataFrame  # (id, reachable_est, sum_dist_est, harmonic_est)
+    # (id, reachable_est, sum_dist_est, harmonic_est, closeness_est, lin_est)
+    centralities: DataFrame
     iterations: int
     metrics_history: list[dict] = field(default_factory=list)
 
 
-def hyperball(g: LinkGraph, max_iter: int = 64, rel_tol: float = 1e-3) -> HyperBallResult:
-    """HyperBall: per-node HLL counters grown along out-edges.
+def hyperball(
+    g: LinkGraph,
+    max_iter: int = 64,
+    rel_tol: float = 1e-3,
+    lg_k: int = HLL_LG_K,
+    systolic_threshold: float = 0.25,
+) -> HyperBallResult:
+    """HyperBall: per-node HLL counters grown along out-edges — fully
+    JVM-side via Spark's datasketches functions (``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_sketch_estimate``); no Python stage anywhere.
 
-    Per iteration: one grouped ``applyInPandas`` computing, for every node,
-    the elementwise max of its own and its successors' registers (self-loops
-    appended so a single grouped pass does both), then a vectorized estimate
-    pass. Stops when the global neighborhood function grows by less than
-    ``rel_tol`` (the reference switches systolic/local modes for the tail —
-    here the tail is cheap because the whole sweep is one shuffle).
+    Per iteration (dense mode): gather successors' sketches through the one
+    persisted hash(src) edge join, then ``groupBy(src).agg(hll_union_agg)``
+    — one edge-sized exchange, whole-stage-codegen aggregation.
 
-    Centrality accumulators follow ``hyperball.rs``: with b_t(v) the ball
-    estimate at radius t, each increment (b_t - b_{t-1}) contributes t to
-    sum-of-distances and 1/t to harmonic centrality.
+    Systolic mode (reference ``algo/src/distances/hyperball.rs:55-71``):
+    when fewer than ``systolic_threshold`` of the counters changed last
+    round, only the PREDECESSORS of changed nodes are recomputed (semi-join
+    frontier, broadcast while small); everyone else keeps their sketch.
+    Deviation from the reference, documented: the reference tracks raw
+    counter modifications; datasketches serialization is representation-
+    dependent (identical register content re-serializes differently), so
+    the frontier here is keyed on *estimate* changes. A register bump that
+    does not move the estimate (possible inside the linear-counting
+    plateau) propagates only when it surfaces in an estimate — an error
+    inside HyperBall's own approximation envelope.
+
+    Centrality accumulators follow ``hyperball.rs:1295-1416``: with b_t(v)
+    the ball estimate at radius t, each increment (b_t - b_{t-1})
+    contributes t to sum-of-distances and 1/t to harmonic centrality;
+    closeness = 1/sum_dist and lin = reachable^2/sum_dist (1 when
+    sum_dist = 0) are computed from the final accumulators — the reference
+    getter set.
     """
-    spark = g.edges.sparkSession
-    # self-loop augmented edges so the group at src includes its own sketch;
-    # the gather pulls SUCCESSORS' counters into each node (B(v, t) grows
-    # along out-edges, hyperball.rs doc)
+    n = g.num_nodes
+    # self-loop augmented edges: the group at src always includes its own
+    # sketch; B(v, t) grows along out-edges (hyperball.rs doc)
     edges = (
         g.edges.select("src", "dst")
-        .unionByName(g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .unionByName(
+            g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
         .repartition("src")
         .persist()
     )
     edges.count()
 
-    def init_batch(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {"id": pdf["id"], "sketch": _hll_init(pdf["id"].to_numpy())}
-            )
-
     state = (
-        g.vertices.mapInPandas(init_batch, schema="id long, sketch binary")
-        .repartition("id")
+        g.vertices.groupBy("id")
+        .agg(F.hll_sketch_agg(F.col("id"), F.lit(lg_k)).alias("sketch"))
         .localCheckpoint()
     )
-
-    def estimates(st: DataFrame) -> DataFrame:
-        @F.pandas_udf("double")
-        def est(s: pd.Series) -> pd.Series:
-            return s.map(
-                lambda b: _hll_estimate(np.frombuffer(b, dtype=np.uint8))
-            )
-
-        return st.select("id", est("sketch").alias("est"))
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        regs = np.frombuffer(b"".join(pdf["sketch"]), dtype=np.uint8).reshape(
-            len(pdf), HLL_M
-        )
-        return pd.DataFrame(
-            {"id": [pdf["node"].iloc[0]], "sketch": [regs.max(axis=0).tobytes()]}
-        )
-
-    # accumulators
-    prev_ball = estimates(state).withColumnRenamed("est", "b").persist()
-    nf = [float(prev_ball.agg(F.sum("b")).collect()[0][0])]
-    acc = prev_ball.select(
+    ball = state.select(
+        "id", F.hll_sketch_estimate("sketch").cast("double").alias("b")
+    ).localCheckpoint()
+    nf = [float(ball.agg(F.sum("b")).collect()[0][0])]
+    acc = ball.select(
         "id",
         F.col("b").alias("reachable_est"),
         F.lit(0.0).alias("sum_dist_est"),
         F.lit(0.0).alias("harmonic_est"),
     ).localCheckpoint()
 
+    changed: DataFrame | None = None  # ids whose estimate moved last round
+    n_changed = n
+    metrics: list[dict] = []
     it_n = 0
     for t in range(1, max_iter + 1):
-        gathered = edges.join(
+        it_n = t
+        systolic = changed is not None and n_changed < systolic_threshold * n
+        if systolic:
+            fr = changed.withColumnRenamed("id", "dst")
+            if n_changed <= 1_000_000:
+                fr = F.broadcast(fr)
+            # predecessors of changed nodes (self-loops put the changed
+            # nodes themselves in this set too)
+            aff = (
+                edges.join(fr, "dst", "left_semi")
+                .select("src")
+                .distinct()
+            )
+            base = edges.join(aff, "src", "left_semi")
+        else:
+            base = edges
+        gathered = base.join(
             state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
-        ).select(F.col("src").alias("node"), "sketch")
-        new_state = (
-            gathered.groupBy("node")
-            .applyInPandas(merge_group, schema="id long, sketch binary")
+        ).select(F.col("src").alias("id"), "sketch")
+        recomputed = (
+            gathered.groupBy("id")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
             .localCheckpoint()
         )
-        new_ball = estimates(new_state).withColumnRenamed("est", "b").persist()
-        total = float(new_ball.agg(F.sum("b")).collect()[0][0])
-        it_n = t
-        # per-node increments -> centrality accumulators
-        inc = (
-            new_ball.join(prev_ball.withColumnRenamed("b", "pb"), "id")
-            .select("id", (F.col("b") - F.col("pb")).alias("inc"), "b")
+        rb = recomputed.select(
+            "id", F.hll_sketch_estimate("sketch").cast("double").alias("nb")
         )
-        old_acc = acc
-        acc = (
-            acc.join(inc, "id")
+        inc = (
+            rb.join(ball, "id")
             .select(
                 "id",
-                F.col("b").alias("reachable_est"),
-                (F.col("sum_dist_est") + F.greatest(F.col("inc"), F.lit(0.0)) * t).alias(
-                    "sum_dist_est"
-                ),
+                "nb",
+                F.greatest(F.col("nb") - F.col("b"), F.lit(0.0)).alias("inc"),
+            )
+            .localCheckpoint()
+        )
+        row = inc.agg(
+            F.sum("inc").alias("g"),
+            F.sum(F.when(F.col("inc") > 0, 1).otherwise(0)).alias("c"),
+        ).collect()[0]
+        grew_abs = float(row["g"] or 0.0)
+        new_changed = inc.filter(F.col("inc") > 0).select("id").localCheckpoint()
+        release_state(changed)
+        changed = new_changed
+        n_changed = int(row["c"] or 0)
+
+        old_state = state
+        if systolic:
+            state = (
+                old_state.join(recomputed.select("id"), "id", "left_anti")
+                .unionByName(recomputed)
+                .localCheckpoint()
+            )
+            release_state(recomputed)
+        else:
+            state = recomputed
+        release_state(old_state)
+
+        # ball update reads `inc` (already checkpointed), NOT `rb` — rb's
+        # parent `recomputed` may have been released above
+        old_ball = ball
+        ball = (
+            old_ball.join(inc.select("id", "nb"), "id", "left")
+            .select("id", F.coalesce("nb", F.col("b")).alias("b"))
+            .localCheckpoint()
+        )
+        release_state(old_ball)
+
+        old_acc = acc
+        acc = (
+            acc.join(inc.select("id", "nb", "inc"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("nb", F.col("reachable_est")).alias("reachable_est"),
                 (
-                    F.col("harmonic_est")
-                    + F.greatest(F.col("inc"), F.lit(0.0)) / t
+                    F.col("sum_dist_est") + F.coalesce("inc", F.lit(0.0)) * t
+                ).alias("sum_dist_est"),
+                (
+                    F.col("harmonic_est") + F.coalesce("inc", F.lit(0.0)) / t
                 ).alias("harmonic_est"),
             )
             .localCheckpoint()
         )
         release_state(old_acc)
-        prev_ball.unpersist()
-        prev_ball = new_ball
-        release_state(state)
-        state = new_state
-        grew = (total - nf[-1]) / max(nf[-1], 1.0)
+        release_state(inc)
+
+        total = nf[-1] + grew_abs
+        rel_grow = grew_abs / max(nf[-1], 1.0)
         nf.append(total)
-        if grew < rel_tol:
+        metrics.append(
+            {"iteration": t, "changed": n_changed, "systolic": systolic,
+             "nf": total, "rel_grow": rel_grow}
+        )
+        if n_changed == 0 or rel_grow < rel_tol:
             break
+    release_state(changed)
+    release_state(ball)
+    release_state(state)
     edges.unpersist()
-    return HyperBallResult(nf, acc, it_n)
+    cent = acc.select(
+        "id",
+        "reachable_est",
+        "sum_dist_est",
+        "harmonic_est",
+        F.when(F.col("sum_dist_est") > 0, 1.0 / F.col("sum_dist_est"))
+        .otherwise(0.0)
+        .alias("closeness_est"),
+        F.when(
+            F.col("sum_dist_est") > 0,
+            F.col("reachable_est") * F.col("reachable_est")
+            / F.col("sum_dist_est"),
+        )
+        .otherwise(1.0)
+        .alias("lin_est"),
+    )
+    return HyperBallResult(nf, cent, it_n, metrics)
