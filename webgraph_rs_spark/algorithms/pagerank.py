@@ -123,8 +123,9 @@ def pagerank(
         meta.filter(F.col("is_dangling")).limit(1).count()
     )
 
-    # Dangling mass is carried forward between iterations (computed in the
-    # same aggregate pass as the L1 delta — one action per iteration). On the
+    # Dangling mass is carried forward between iterations; together with the
+    # L1 delta it rides along the driver's own materializing action as
+    # ``observe`` metrics — ZERO extra actions/passes per iteration. On the
     # first call (fresh run or resume) it is computed from the given state.
     dangling_carry: dict[str, float | None] = {"d": None if has_dangling else 0.0}
 
@@ -136,13 +137,7 @@ def pagerank(
             or 0.0
         )
 
-    parent_cache: list[DataFrame] = []
-
-    def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
-        # the previous iteration's intermediate is materialized into the
-        # driver-persisted state by now — safe to evict.
-        while parent_cache:
-            parent_cache.pop().unpersist()
+    def step(state: DataFrame, it: int):
         d = dangling_carry["d"]
         if d is None:
             d = _dangling_of(state)
@@ -193,45 +188,48 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # persist only when a metrics action will scan `new` (otherwise the
-        # driver's localCheckpoint is the single materialization)
-        if threshold is not None or has_dangling:
-            new = new.persist()
-            parent_cache.append(new)
-        if threshold is None:
-            # fixed-iteration mode: skip the delta join entirely (one fewer
-            # vertex-table scan per iteration)
-            if has_dangling:
-                next_d = (
-                    new.agg(
-                        F.sum(
-                            F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
-                        )
-                    ).collect()[0][0]
-                    or 0.0
-                )
-                dangling_carry["d"] = next_d
+        if threshold is None and not has_dangling:
+            # fixed-iteration, no dangling: nothing to measure — the driver's
+            # materialization is the ONLY action per iteration
             return new.select("id", "rank"), {"dangling_mass": d, "arcs": m}
-        row = (
-            new.join(
-                state.select("id", F.col("rank").alias("old_rank")), "id"
-            )
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+
+        # fold the L1 delta and/or next dangling mass into the SAME action
+        # that materializes the state (DataFrame.observe) — one pass, one
+        # job per iteration; the delta join rides inside the main pipeline
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = []
+        if has_dangling:
+            aggs.append(
                 F.sum(
                     F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
-                ).alias("next_d"),
+                ).alias("next_d")
             )
-            .collect()[0]
-        )
-        l1 = row["l1"] or 0.0
-        dangling_carry["d"] = row["next_d"] or 0.0 if has_dangling else 0.0
-        return new.select("id", "rank"), {
-            "l1_delta": l1,
-            "err": coef * l1,
-            "dangling_mass": d,
-            "arcs": m,
-        }
+        if threshold is not None:
+            new = new.join(
+                state.select("id", F.col("rank").alias("old_rank")).hint(
+                    "shuffle_hash"
+                ),
+                "id",
+            )
+            aggs.append(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1")
+            )
+        observed = new.observe(obs, *aggs)
+        out = observed.select("id", "rank")
+
+        def metrics_fn() -> dict:
+            vals = obs.get  # blocks until the materializing action finishes
+            if has_dangling:
+                dangling_carry["d"] = float(vals.get("next_d") or 0.0)
+            metrics = {"dangling_mass": d, "arcs": m}
+            if threshold is not None:
+                l1 = float(vals.get("l1") or 0.0)
+                metrics.update(l1_delta=l1, err=coef * l1)
+            return metrics
+
+        return out, metrics_fn
 
     stop = (
         MaxIter(max_iter)
@@ -249,8 +247,6 @@ def pagerank(
         resume=resume,
     )
     err = res.metrics_history[-1].get("err", float("nan")) if res.metrics_history else 0.0
-    while parent_cache:
-        parent_cache.pop().unpersist()
     meta.unpersist()
     edges.unpersist()
     return PageRankResult(

@@ -254,6 +254,14 @@ def iterate(
     ``resume=True`` and an existing store, the loop continues from the latest
     complete iteration — a killed job redoes at most ``checkpoint_every - 1``
     iterations.
+
+    ``metrics`` may be a CALLABLE instead of a dict: it is invoked after the
+    loop's own materializing action, enabling single-action iterations via
+    ``DataFrame.observe`` — the step attaches observed aggregates to the
+    state plan and the metrics ride along with the materialization instead
+    of costing a second pass. (With ``checkpoint_every > 1`` and a durable
+    store, a stop detected from observed metrics between checkpoints
+    triggers a late commit so the final state is always durable.)
     """
     store = CheckpointStore(checkpoint_dir, job) if checkpoint_dir else None
     it = 0
@@ -281,27 +289,49 @@ def iterate(
         t0 = time.monotonic()
         new_state, metrics = step(state, it)
         it += 1
+        metrics_fn = metrics if callable(metrics) else None
         new_state = new_state.persist()
-        do_ckpt = it % checkpoint_every == 0 or stop.should_stop(it, metrics)
-        if store is not None and do_ckpt:
-            committed = store.write(
-                new_state, it, metrics, (time.monotonic() - t0) * 1000.0
-            )
-            new_state.unpersist()
-            new_state = committed.persist()
-        elif do_ckpt:
+        do_ckpt = it % checkpoint_every == 0 or (
+            metrics_fn is None and stop.should_stop(it, metrics)
+        )
+
+        def _truncate(df: DataFrame) -> DataFrame:
             # No durable store: still truncate lineage, or the logical plan
             # (and driver stack at analysis time) grows without bound in
             # iterative jobs. Materialize into the cache FIRST, then
             # localCheckpoint — checkpointing from the cache is ~30x cheaper
             # than letting localCheckpoint re-execute the plan itself
             # (measured: 0.5s vs 15s on a 2M-row state).
-            new_state.count()
-            unp = new_state
-            new_state = new_state.localCheckpoint(eager=True)
+            unp = df
+            out = df.localCheckpoint(eager=True)
             unp.unpersist()
+            return out
+
+        if store is not None and do_ckpt:
+            committed = store.write(
+                new_state, it, metrics if metrics_fn is None else {},
+                (time.monotonic() - t0) * 1000.0,
+            )
+            new_state.unpersist()
+            new_state = committed.persist()
+        elif do_ckpt:
+            new_state.count()
+            new_state = _truncate(new_state)
         else:
             new_state.count()  # materialize before dropping the parent
+        if metrics_fn is not None:
+            # observed aggregates were collected by the materializing action
+            metrics = metrics_fn()
+            if not do_ckpt and stop.should_stop(it, metrics):
+                # late commit: the loop ends now, make the state durable
+                if store is not None:
+                    committed = store.write(
+                        new_state, it, metrics, (time.monotonic() - t0) * 1000.0
+                    )
+                    new_state.unpersist()
+                    new_state = committed.persist()
+                else:
+                    new_state = _truncate(new_state)
         if prev is not None:
             release_state(prev)
         prev = state
