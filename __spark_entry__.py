@@ -81,6 +81,7 @@ SQL_FUNC_EDGES = (
     "FROM lineitem WHERE l_orderkey % 1024 != "
     "((l_orderkey % 1024) * (l_orderkey % 1024) * 3 + 5) % 1024"
 )
+SQL_FUNC_EDGES_SMALL = SQL_FUNC_EDGES.replace("1024", "256")
 
 # ---------------------------------------------------------------- SQL builders
 
@@ -214,6 +215,39 @@ rn AS (SELECT label,
        FROM sz)
 SELECT fin.id, rn.new_label AS label FROM fin JOIN rn ON fin.label = rn.label
 """
+
+
+def _ecc_all_sql(edges_sql: str, n: int, iters: int) -> tuple[str, str]:
+    """Exact forward eccentricities of EVERY node by unrolled all-roots
+    min-plus (iters must be >= the true diameter). Returns (ctes, final
+    ecc table name); final table = (id, ecc) with unreachable-free nodes
+    at ecc 0."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}),",
+        f"v AS MATERIALIZED (SELECT range::BIGINT AS id FROM range({n})),",
+        "d0 AS MATERIALIZED (SELECT id AS root, id, 0::BIGINT AS distance FROM v),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT d{k}.root, e.dst AS id, "
+            f"min(d{k}.distance) + 1 AS nd FROM e JOIN d{k} ON e.src = d{k}.id "
+            f"GROUP BY d{k}.root, e.dst),"
+        )
+        parts.append(
+            f"d{k + 1} AS MATERIALIZED (SELECT coalesce(a.root, b.root) AS root, "
+            f"coalesce(a.id, b.id) AS id, "
+            f"least(coalesce(a.distance, b.nd), coalesce(b.nd, a.distance)) AS distance "
+            f"FROM d{k} a FULL OUTER JOIN n{k} b ON a.root = b.root AND a.id = b.id),"
+        )
+    parts.append(
+        f"eccw AS MATERIALIZED (SELECT root AS id, max(distance) AS ecc "
+        f"FROM d{iters} GROUP BY root),"
+    )
+    parts.append(
+        "eccall AS (SELECT v.id, coalesce(eccw.ecc, 0)::BIGINT AS ecc "
+        "FROM v LEFT JOIN eccw ON v.id = eccw.id)"
+    )
+    return "\n".join(parts), "eccall"
 
 
 def _bfs_tree_sql(iters: int = BFS_ITERS) -> str:
@@ -527,6 +561,29 @@ def _q_scc_renumbered(spark, sf):
     return renumber_by_size(strongly_connected_components(g).labels)
 
 
+def _q_sumsweep_rd(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph_small
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    g = functional_graph_small(spark, sf)
+    res = exact_sum_sweep(g, mode="radius_diameter")
+    return spark.createDataFrame(
+        [(int(res.radius), int(res.diameter), bool(res.converged))],
+        "radius long, diameter long, converged boolean",
+    )
+
+
+def _q_sumsweep_ecc(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph_small
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    g = functional_graph_small(spark, sf)
+    res = exact_sum_sweep(g, mode="all")
+    return res.eccentricities.select("id", F.col("ecc").cast("long").alias("ecc"))
+
+
 def _q_bfs_tree(spark, sf):
     _import_engine()
     from webgraph_rs_spark.testgraphs import lineitem_graph
@@ -677,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": _q_scc,
         "scc_labels_dense": _q_scc_dense,
         "scc_renumbered": _q_scc_renumbered,
+        "sumsweep_radius_diameter": _q_sumsweep_rd,
+        "sumsweep_ecc_all": _q_sumsweep_ecc,
         "topo_levels": _q_topo,
         "intern_string_graph": _q_intern,
         "perm_compose": _q_perm_compose,
@@ -761,6 +820,13 @@ SELECT v.id, coalesce(per.cnt, 0) AS triangles FROM v LEFT JOIN per ON v.id = pe
         "scc_labels": _scc_sql(SQL_FUNC_EDGES),
         "scc_labels_dense": _scc_sql(SQL_EDGES),
         "scc_renumbered": _scc_sql(SQL_FUNC_EDGES, renumber=True),
+        "sumsweep_radius_diameter": "{0}\nSELECT min(ecc)::BIGINT AS radius, "
+        "max(ecc)::BIGINT AS diameter, TRUE AS converged FROM {1}".format(
+            *_ecc_all_sql(SQL_FUNC_EDGES_SMALL, 256, 8)
+        ),
+        "sumsweep_ecc_all": "{0}\nSELECT id, ecc FROM {1}".format(
+            *_ecc_all_sql(SQL_FUNC_EDGES_SMALL, 256, 8)
+        ),
         "topo_levels": _topo_sql(),
         "intern_string_graph": """
 WITH arcs AS (SELECT DISTINCT n_name AS s, r_name AS d
@@ -1502,7 +1568,9 @@ SELECT v.id, coalesce(agg.reachable, 1)::BIGINT AS reachable,
                   THEN 1.0 / agg.sum_dist ELSE 0.0 END, 9) AS closeness,
        round(CASE WHEN coalesce(agg.sum_dist, 0) > 0
                   THEN (agg.reachable * agg.reachable)::DOUBLE / agg.sum_dist
-                  ELSE 1.0 END, 6) AS lin
+                  ELSE 1.0 END, 6) AS lin,
+       (coalesce(agg.reachable, 1) * coalesce(agg.reachable, 1)
+        - coalesce(agg.sum_dist, 0))::BIGINT AS nieminen
 FROM v LEFT JOIN agg ON v.id = agg.id
 """
     )

@@ -138,3 +138,30 @@ def test_hyperball_tracks_exact_nf(spark):
     cent = {r["id"]: r["reachable_est"] for r in hb.centralities.collect()}
     rel = [abs(cent[v] - reach_exact[v]) / reach_exact[v] for v in reach_exact]
     assert np.mean(rel) < 0.12
+
+
+def test_exact_sum_sweep_vs_all_pairs(spark):
+    """SumSweep radius/diameter/eccentricities certified over ALL nodes must
+    equal the brute-force all-pairs answer — on a strongly-connected-ish ER
+    graph and on a fragmented one (multi-SCC upper-bound guard path)."""
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    for n, p, seed in ((80, 0.06, 5), (60, 0.02, 6)):
+        nn, edges = erdos_renyi(n, p, seed)
+        g = graph_from_pandas(spark, edges, nn)
+        exact = all_pairs_distances(g)
+        ecc_exact = {
+            r["id"]: r["ecc"]
+            for r in eccentricities(exact.distances, g.vertices).collect()
+        }
+        r_exact, d_exact = radius_diameter(exact.distances, g.vertices)
+        res = exact_sum_sweep(g, mode="all")
+        assert res.converged
+        got = {r["id"]: r["ecc"] for r in res.eccentricities.collect()}
+        assert got == ecc_exact
+        assert (res.radius, res.diameter) == (r_exact, d_exact)
+        rd = exact_sum_sweep(g, mode="radius_diameter")
+        assert rd.converged
+        assert (rd.radius, rd.diameter) == (r_exact, d_exact)
+        # the whole point: certification without n sweeps
+        assert rd.pivots_used < n

@@ -91,3 +91,51 @@ def test_streaming_ingestion(spark, tmp_path):
 
     got_deg = {r["src_url"]: r["n_links"] for r in rows}
     assert got_deg == {url_for(s): c for s, c in out_deg.items()}
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First-seen wins across micro-batches: batch 2 re-sends batch 1 texts
+    plus new ones; only the new ones surface."""
+    import json
+    import os
+
+    from webgraph_rs_spark.streaming import (
+        run_stream_to_memory,
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "docs_stream"
+    os.makedirs(src)
+    b1 = [{"doc_id": i, "text": f"text number {i % 3}"} for i in range(6)]
+    with open(src / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    dedup = streaming_exact_dedup(stream)
+    name = "dedup_smoke"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        r["text"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # 6 docs, 3 distinct texts -> 3 survivors
+    assert got1 == {f"text number {k}" for k in range(3)}
+
+    b2 = [{"doc_id": 100 + i, "text": f"text number {i}"} for i in range(5)]
+    with open(src / "b2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b2))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    texts = sorted(r["text"] for r in rows)
+    # batch 2 adds only texts 3 and 4; 0-2 are cross-batch duplicates
+    assert texts == sorted(f"text number {k}" for k in range(5))
+    assert len(rows) == 5

@@ -61,7 +61,9 @@ def main() -> int:
         master=f"local[{cores}]",
         shuffle_partitions=16,
         extra_conf={
-            "spark.driver.memory": "48g",
+            # 32g is ample (the 134M-arc edge cache is ~3 GB); a fatter heap
+            # just raises host OOM-kill pressure on the shared box
+            "spark.driver.memory": "32g",
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
         },
     )

@@ -27,6 +27,7 @@ from webgraph_rs_spark.algorithms.birank import birank  # noqa: F401
 from webgraph_rs_spark.algorithms.distances import (  # noqa: F401
     all_pairs_distances,
     eccentricities,
+    exact_sum_sweep,
     geometric_centralities,
     hyperball,
     neighborhood_function,

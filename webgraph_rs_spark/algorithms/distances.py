@@ -106,6 +106,7 @@ def geometric_centralities(dist: DataFrame, vertices: DataFrame) -> DataFrame:
     - closeness   = 1 / sum_dist (0 when sum_dist = 0)
     - harmonic    = sum over u != v of 1 / d(v, u)
     - lin         = reachable^2 / sum_dist (1 when sum_dist = 0)
+    - nieminen    = reachable^2 - sum_dist
     """
     agg = dist.groupBy(F.col("root").alias("id")).agg(
         F.count(F.lit(1)).alias("reachable"),
@@ -135,6 +136,9 @@ def geometric_centralities(dist: DataFrame, vertices: DataFrame) -> DataFrame:
             ).otherwise(1.0),
             6,
         ).alias("lin"),
+        (
+            F.col("reachable") * F.col("reachable") - F.col("sum_dist")
+        ).cast("long").alias("nieminen"),
     )
 
 
@@ -176,6 +180,7 @@ def hyperball(
     rel_tol: float = 1e-3,
     lg_k: int = HLL_LG_K,
     systolic_threshold: float = 0.25,
+    discounts: dict | None = None,
 ) -> HyperBallResult:
     """HyperBall: per-node HLL counters grown along out-edges — fully
     JVM-side via Spark's datasketches functions (``hll_sketch_agg`` /
@@ -200,9 +205,15 @@ def hyperball(
     Centrality accumulators follow ``hyperball.rs:1295-1416``: with b_t(v)
     the ball estimate at radius t, each increment (b_t - b_{t-1})
     contributes t to sum-of-distances and 1/t to harmonic centrality;
-    closeness = 1/sum_dist and lin = reachable^2/sum_dist (1 when
-    sum_dist = 0) are computed from the final accumulators — the reference
-    getter set.
+    closeness = 1/sum_dist, lin = reachable^2/sum_dist (1 when
+    sum_dist = 0) and nieminen = reachable^2 - sum_dist are computed from
+    the final accumulators — the full reference getter set
+    (``closeness_centrality``/``lin_centrality``/``nieminen_centrality``/
+    ``reachable_nodes``, hyperball.rs:1338-1416). ``discounts`` maps names
+    to discount functions t -> weight (``discounted_centrality``,
+    hyperball.rs:1324): each adds an accumulator column ``<name>_est``
+    growing by discount(t) * increment — the discount value is a per-
+    iteration CONSTANT, so these stay pure column arithmetic.
     """
     n = g.num_nodes
     # self-loop augmented edges: the group at src always includes its own
@@ -226,11 +237,13 @@ def hyperball(
         "id", F.hll_sketch_estimate("sketch").cast("double").alias("b")
     ).localCheckpoint()
     nf = [float(ball.agg(F.sum("b")).collect()[0][0])]
+    discounts = discounts or {}
     acc = ball.select(
         "id",
         F.col("b").alias("reachable_est"),
         F.lit(0.0).alias("sum_dist_est"),
         F.lit(0.0).alias("harmonic_est"),
+        *[F.lit(0.0).alias(f"{name}_est") for name in discounts],
     ).localCheckpoint()
 
     changed: DataFrame | None = None  # ids whose estimate moved last round
@@ -318,6 +331,13 @@ def hyperball(
                 (
                     F.col("harmonic_est") + F.coalesce("inc", F.lit(0.0)) / t
                 ).alias("harmonic_est"),
+                *[
+                    (
+                        F.col(f"{name}_est")
+                        + F.coalesce("inc", F.lit(0.0)) * float(fn(t))
+                    ).alias(f"{name}_est")
+                    for name, fn in discounts.items()
+                ],
             )
             .localCheckpoint()
         )
@@ -352,5 +372,268 @@ def hyperball(
         )
         .otherwise(1.0)
         .alias("lin_est"),
+        (
+            F.col("reachable_est") * F.col("reachable_est")
+            - F.col("sum_dist_est")
+        ).alias("nieminen_est"),
+        *[F.col(f"{name}_est") for name in discounts],
     )
     return HyperBallResult(nf, cent, it_n, metrics)
+
+
+# -------------------------------------------------------------- ExactSumSweep
+
+_ECC_INF = 1 << 62
+
+
+@dataclass
+class SumSweepResult:
+    radius: int
+    diameter: int
+    radial_node: int
+    diametral_node: int
+    eccentricities: DataFrame | None  # (id, ecc) — mode="all" only
+    pivots_used: int
+    converged: bool
+
+
+def exact_sum_sweep(
+    g: LinkGraph,
+    mode: str = "radius_diameter",
+    batch: int = 32,
+    max_pivots: int = 4096,
+) -> SumSweepResult:
+    """Exact forward eccentricities / radius / diameter over ALL nodes by
+    pivot-bounded sweeps — the reference's ExactSumSweep
+    (``algo/src/distances/exact_sum_sweep/mod.rs:8-111``, ``level.rs:119-281``)
+    re-derived for Spark. Unlike the sampled-source ``radius_diameter`` this
+    CERTIFIES the result for the whole graph, typically after a handful of
+    sweeps instead of n.
+
+    Spark-first twist: where the reference runs one BFS pivot at a time,
+    pivots are processed in BATCHES of ``batch`` via multi-source BFS (the
+    per-sweep cost is driver round-trips, not data volume, so batching is
+    near-free) — each round is two multi-source BFS (forward + on the
+    transpose) plus one vertex-sized bounds update.
+
+    Per-node bounds (fl, fu) on the forward eccentricity:
+
+    - ``fl(v) = max(fl(v), d(v, w))`` over pivots w      (always valid);
+    - ``fl(v) = max(fl(v), eccF(w) - d(w, v))`` for v in w's SCC — the
+      peripheral lower bound that certifies radius in few sweeps (one
+      sweep from a diametral-ish node raises everyone's floor at once);
+    - ``fu(v) = min over pivots w in v's SCC of d(v, w) + eccF(w)`` —
+      the triangle bounds need reach(v) = reach(w), so they are applied
+      under a same-SCC guard (both d(v,w) and d(w,v) finite), keeping the
+      result exact on ANY directed graph (the reference's level-aware
+      variant decomposes by SCC for the same reason);
+    - ``fu(v) = min(fu(v), 1 + max over successors w of fu(w))`` — valid on
+      any digraph (every target is one hop past some successor), iterated a
+      few times per round: this propagates finite upper bounds backward up
+      tendrils and tails, covering exactly the singleton-SCC nodes the
+      triangle bound cannot touch. Out-degree-0 nodes initialize exact
+      (ecc 0).
+
+    Certification from bounds alone: diameter = max(fl) once
+    max(fu) <= max(fl); radius = min(fu) once min(fl) >= min(fu);
+    mode="all" runs until fl = fu everywhere. Pivot heuristics (Borassi
+    et al. 2015): half the batch are open-diameter candidates (max fu),
+    half open-radius candidates (min fl); in "all" mode, widest intervals.
+    Eccentricity semantics match :func:`eccentricities` (max over
+    reachable nodes). Efficient on web-like graphs (one giant SCC);
+    fragmented graphs degrade gracefully to batched all-sources BFS.
+    """
+    from webgraph_rs_spark.algorithms.bfs import bfs_distances  # noqa: F401
+
+    if mode not in ("radius_diameter", "all"):
+        raise ValueError(mode)
+    spark = g.edges.sparkSession
+    # self-loops never affect eccentricities (d(v,v) = 0) but would break
+    # the fl = 1 init below — drop them up front
+    loopless = g.edges.filter(F.col("src") != F.col("dst"))
+    fwd = loopless.select("src", "dst").repartition("src").persist()
+    bwd = (
+        loopless.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    fwd.count()
+    bwd.count()
+    g_fwd = LinkGraph(fwd, g.vertices)
+    g_bwd = LinkGraph(bwd, g.vertices)
+
+    has_out = fwd.select(F.col("src").alias("id")).distinct()
+    # out-degree-0: ecc exactly 0; otherwise ecc >= 1 (a loopless successor
+    # exists), so fl starts at 1 — certifies radius immediately on graphs
+    # whose radial nodes sit one hop from a terminal
+    bounds = (
+        g.vertices.join(has_out.withColumn("_o", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_o").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fl"),
+            F.when(F.col("_o").isNotNull(), F.lit(_ECC_INF))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fu"),
+        )
+        .localCheckpoint()
+    )
+
+    pivots = 0
+    converged = False
+    want_all = mode == "all"
+    half = max(1, batch // 2)
+    while pivots < max_pivots:
+        row = bounds.agg(
+            F.max("fl").alias("max_fl"),
+            F.max("fu").alias("max_fu"),
+            F.min("fl").alias("min_fl"),
+            F.min("fu").alias("min_fu"),
+        ).collect()[0]
+        diam_done = row["max_fu"] <= row["max_fl"]
+        rad_done = row["min_fl"] >= row["min_fu"]
+        open_nodes = bounds.filter(F.col("fl") < F.col("fu"))
+        if want_all:
+            if open_nodes.limit(1).count() == 0:
+                converged = True
+                break
+            sel = [
+                int(r["id"])
+                for r in open_nodes.orderBy(
+                    (F.col("fu") - F.col("fl")).desc(), F.col("id")
+                )
+                .limit(batch)
+                .collect()
+            ]
+        else:
+            if diam_done and rad_done:
+                converged = True
+                break
+            dcand = (
+                open_nodes.filter(F.col("fu") > row["max_fl"])
+                .orderBy(F.col("fu").desc(), F.col("fl").desc(), F.col("id"))
+                .limit(half)
+                .collect()
+            )
+            rcand = (
+                open_nodes.filter(F.col("fl") < row["min_fu"])
+                .orderBy(F.col("fl").asc(), F.col("fu").asc(), F.col("id"))
+                .limit(half)
+                .collect()
+            )
+            sel = list({int(r["id"]) for r in dcand} | {int(r["id"]) for r in rcand})
+            if not sel:
+                sel = [
+                    int(r["id"])
+                    for r in open_nodes.orderBy("id").limit(batch).collect()
+                ]
+            if not sel:
+                converged = True
+                break
+        pivots += len(sel)
+        roots = spark.createDataFrame([(w,) for w in sel], "id long")
+
+        # two multi-source sweeps for the whole batch
+        d_fwd = all_pairs_distances(g_fwd, sources=roots).distances
+        d_bwd = all_pairs_distances(g_bwd, sources=roots).distances
+        ecc_w = d_fwd.groupBy("root").agg(F.max("distance").alias("eccw"))
+        # same-SCC guard: v reached FROM w and v reaches w
+        scc_pairs = d_bwd.select("root", "id").join(
+            d_fwd.select("root", "id"), ["root", "id"], "left_semi"
+        )
+        fl_cand = d_bwd.groupBy("id").agg(F.max("distance").alias("flc"))
+        fl2_cand = (
+            d_fwd.join(scc_pairs, ["root", "id"], "left_semi")
+            .join(ecc_w, "root")
+            .groupBy("id")
+            .agg(F.max(F.col("eccw") - F.col("distance")).alias("flc2"))
+        )
+        fu_cand = (
+            d_bwd.join(scc_pairs, ["root", "id"], "left_semi")
+            .join(ecc_w, "root")
+            .groupBy("id")
+            .agg(F.min(F.col("distance") + F.col("eccw")).alias("fuc"))
+        )
+        exact_piv = ecc_w.select(
+            F.col("root").alias("id"), F.col("eccw").alias("fx")
+        )
+        old_bounds = bounds
+        bounds = (
+            bounds.join(fl_cand, "id", "left")
+            .join(fl2_cand, "id", "left")
+            .join(fu_cand, "id", "left")
+            .join(exact_piv, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    "fx",
+                    F.greatest(
+                        "fl",
+                        F.coalesce("flc", F.lit(0)),
+                        F.coalesce("flc2", F.lit(0)),
+                    ),
+                ).alias("fl"),
+                F.coalesce(
+                    "fx", F.least("fu", F.coalesce("fuc", F.lit(_ECC_INF)))
+                ).alias("fu"),
+            )
+            .localCheckpoint()
+        )
+        release_state(old_bounds)
+        release_state(d_fwd)
+        release_state(d_bwd)
+
+        # backward fu propagation (tail/tendril closer; see docstring)
+        for _p in range(8):
+            succ_fu = (
+                fwd.join(
+                    bounds.select(
+                        F.col("id").alias("dst"), F.col("fu").alias("sfu")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.max("sfu").alias("mfu"))
+            )
+            joined = (
+                bounds.join(succ_fu, "id", "left")
+                .select(
+                    "id",
+                    "fl",
+                    "fu",
+                    F.least(
+                        "fu", F.coalesce(F.col("mfu") + 1, F.col("fu"))
+                    ).alias("nfu"),
+                )
+                .localCheckpoint()
+            )
+            n_tightened = joined.filter(F.col("nfu") < F.col("fu")).count()
+            old_bounds = bounds
+            bounds = joined.select(
+                "id", F.greatest("fl", F.lit(0)).alias("fl"),
+                F.col("nfu").alias("fu")
+            ).localCheckpoint()
+            release_state(old_bounds)
+            release_state(joined)
+            if n_tightened == 0:
+                break
+
+    row = bounds.agg(F.max("fl").alias("d"), F.min("fu").alias("r")).collect()[0]
+    diameter = int(row["d"])
+    radius = int(min(row["r"], _ECC_INF))
+    dn = bounds.filter(F.col("fl") == diameter).agg(F.min("id")).collect()[0][0]
+    rn = bounds.filter(F.col("fu") == radius).agg(F.min("id")).collect()[0][0]
+    ecc_df = None
+    if want_all:
+        ecc_df = bounds.select("id", F.col("fl").alias("ecc"))
+    else:
+        release_state(bounds)
+    fwd.unpersist()
+    bwd.unpersist()
+    return SumSweepResult(
+        radius, diameter, int(rn if rn is not None else -1),
+        int(dn if dn is not None else -1), ecc_df, pivots, converged
+    )

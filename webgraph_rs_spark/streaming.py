@@ -61,3 +61,59 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup of a document stream: emits only the
+    first-seen document for each text hash; later duplicates (within a
+    batch or in any later batch) are dropped.
+
+    Custom stateful operator via ``applyInPandasWithState``: documents are
+    bucketed by a stable hash prefix (``n_buckets`` groups — state
+    partitioning key, NOT a semantic key), and each group's state is the
+    set of md5 digests seen so far. This is the streaming face of
+    ``textops.exact_dedup``; at 100 TB the state store holds 16 bytes per
+    distinct document spread over the bucket groups, and the per-batch work
+    is one shuffle on the bucket key.
+    """
+    import pandas as pd  # arrow-batched; never per-row
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = docs_stream.withColumn("_h", F.md5(F.col(text_col))).withColumn(
+        "_bucket", F.pmod(F.xxhash64("_h"), F.lit(n_buckets))
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields
+        if f.name not in ("_bucket",)
+    )
+    state_schema = "seen array<string>"
+
+    def dedup_group(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            fresh_mask = []
+            for h in pdf["_h"]:
+                if h in seen:
+                    fresh_mask.append(False)
+                else:
+                    seen.add(h)
+                    fresh_mask.append(True)
+            out = pdf[pd.Series(fresh_mask, index=pdf.index)]
+            if len(out):
+                yield out.drop(columns=["_bucket"])
+        state.update((list(seen),))
+
+    return hashed.groupBy("_bucket").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

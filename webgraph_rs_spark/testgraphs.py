@@ -65,6 +65,24 @@ def functional_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return from_edges(spark, edges, num_nodes=N_NODES)
 
 
+N_SMALL = 256
+
+
+def functional_graph_small(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """256-node variant of :func:`functional_graph` (diameter 6, radius 1,
+    ecc spread 1..6) — sized so that certified-exact sweeps and their
+    all-roots SQL oracles stay cheap at the gate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = F.col("l_orderkey") % N_SMALL
+    d = (s * s * 3 + 5) % N_SMALL
+    edges = (
+        li.select(s.alias("src"), d.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return from_edges(spark, edges, num_nodes=N_SMALL)
+
+
 def layered_dag(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """A 4-layer DAG over 0..55 derived from orders (for topo-level tests):
     layer0 0..31 -> layer1 32..39 -> layer2 40..43 -> layer3 44..45."""
