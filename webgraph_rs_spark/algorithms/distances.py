@@ -233,18 +233,17 @@ def hyperball(
         .agg(F.hll_sketch_agg(F.col("id"), F.lit(lg_k)).alias("sketch"))
         .localCheckpoint()
     )
-    ball = state.select(
-        "id", F.hll_sketch_estimate("sketch").cast("double").alias("b")
-    ).localCheckpoint()
-    nf = [float(ball.agg(F.sum("b")).collect()[0][0])]
     discounts = discounts or {}
-    acc = ball.select(
+    # acc.reachable_est doubles as the per-node ball estimate of the
+    # previous round — no separate ball table
+    acc = state.select(
         "id",
-        F.col("b").alias("reachable_est"),
+        F.hll_sketch_estimate("sketch").cast("double").alias("reachable_est"),
         F.lit(0.0).alias("sum_dist_est"),
         F.lit(0.0).alias("harmonic_est"),
         *[F.lit(0.0).alias(f"{name}_est") for name in discounts],
     ).localCheckpoint()
+    nf = [float(acc.agg(F.sum("reachable_est")).collect()[0][0])]
 
     changed: DataFrame | None = None  # ids whose estimate moved last round
     n_changed = n
@@ -279,7 +278,7 @@ def hyperball(
             "id", F.hll_sketch_estimate("sketch").cast("double").alias("nb")
         )
         inc = (
-            rb.join(ball, "id")
+            rb.join(acc.select("id", F.col("reachable_est").alias("b")), "id")
             .select(
                 "id",
                 "nb",
@@ -308,16 +307,6 @@ def hyperball(
         else:
             state = recomputed
         release_state(old_state)
-
-        # ball update reads `inc` (already checkpointed), NOT `rb` — rb's
-        # parent `recomputed` may have been released above
-        old_ball = ball
-        ball = (
-            old_ball.join(inc.select("id", "nb"), "id", "left")
-            .select("id", F.coalesce("nb", F.col("b")).alias("b"))
-            .localCheckpoint()
-        )
-        release_state(old_ball)
 
         old_acc = acc
         acc = (
@@ -354,7 +343,6 @@ def hyperball(
         if n_changed == 0 or rel_grow < rel_tol:
             break
     release_state(changed)
-    release_state(ball)
     release_state(state)
     edges.unpersist()
     cent = acc.select(

@@ -71,6 +71,7 @@ def label_propagation(
     edges = _sym_edges(g) if symmetrize else g.edges
     edges = edges.repartition("src").persist()
     edges.count()
+    n_vertices = g.num_nodes
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
     # round k still reads round k-1's frontier — release two rounds later
@@ -82,6 +83,12 @@ def label_propagation(
             for d in cache_rounds.pop(0):
                 release_state(d)
         fr = frontier["df"]
+        # the two semi-joins only pay off once the frontier has shrunk —
+        # with most nodes still changing, a full rescan is cheaper
+        if fr is not None and frontier["n"] is not None and frontier[
+            "n"
+        ] * 2 > n_vertices:
+            fr = None
         if fr is None:
             sub_edges = edges
         else:
