@@ -86,15 +86,34 @@ SQL_FUNC_EDGES_SMALL = SQL_FUNC_EDGES.replace("1024", "256")
 # ---------------------------------------------------------------- SQL builders
 
 
-def _pagerank_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA, n: int = N) -> str:
+def _pagerank_sql(
+    iters: int = PR_ITERS,
+    alpha: float = PR_ALPHA,
+    n: int = N,
+    edges_sql: str | None = None,
+    mode: str = "strongly",
+    pref_sql: str | None = None,
+) -> str:
+    """Unrolled power iteration mirroring ``algorithms.pagerank``:
+    ``mode`` maps to the reference's dangling handling (strongly: u = pref;
+    weakly: u = 1/n; pseudo: u = 0); ``pref_sql`` is an expression in ``v.id``
+    for a non-uniform preference vector (must sum to 1 over the domain)."""
     a = repr(alpha)
     one_minus = repr(1.0 - alpha)
+    pref = pref_sql or f"1.0/{n}"
+    if mode == "strongly":
+        u = "pv.pref"
+    elif mode == "weakly":
+        u = f"1.0/{n}"
+    else:  # pseudo
+        u = "0.0"
     parts = [
-        f"WITH e AS MATERIALIZED ({SQL_EDGES}),",
+        f"WITH e AS MATERIALIZED ({edges_sql or SQL_EDGES}),",
         f"v AS MATERIALIZED ({SQL_V}),",
+        f"pv AS MATERIALIZED (SELECT v.id, {pref} AS pref FROM v),",
         "deg AS MATERIALIZED (SELECT src, count(*) AS c FROM e GROUP BY src),",
         "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0/deg.c AS w FROM e JOIN deg ON e.src = deg.src),",
-        f"r0 AS MATERIALIZED (SELECT id, 1.0/{n} AS pr FROM v),",
+        "r0 AS MATERIALIZED (SELECT id, pref AS pr FROM pv),",
     ]
     for k in range(iters):
         parts.append(
@@ -106,9 +125,9 @@ def _pagerank_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA, n: int = N) ->
             f"FROM ew JOIN r{k} ON ew.src = r{k}.id GROUP BY ew.dst),"
         )
         parts.append(
-            f"r{k + 1} AS MATERIALIZED (SELECT v.id, {one_minus}/{n} + {a}*(coalesce(c{k}.s, 0.0) "
-            f"+ (SELECT m FROM d{k})/{n}) AS pr "
-            f"FROM v LEFT JOIN c{k} ON v.id = c{k}.id),"
+            f"r{k + 1} AS MATERIALIZED (SELECT pv.id, {one_minus}*pv.pref + {a}*(coalesce(c{k}.s, 0.0) "
+            f"+ (SELECT m FROM d{k})*({u})) AS pr "
+            f"FROM pv LEFT JOIN c{k} ON pv.id = c{k}.id),"
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, round(pr, 7) AS pr FROM r{iters}")
@@ -473,6 +492,38 @@ def _q_pagerank_topk(spark, sf):
     )
 
 
+def _q_pagerank_pseudo(spark, sf):
+    """Pseudo-rank mode (dangling mass dropped) on the rho-shaped functional
+    graph — its terminal nodes are genuine dangling nodes, so the three
+    dangling modes actually diverge here."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph
+    from webgraph_rs_spark.algorithms import pagerank
+
+    g = functional_graph(spark, sf)
+    pr = pagerank(g, alpha=PR_ALPHA, mode="pseudo", threshold=None, max_iter=10)
+    # 6 decimals: two nodes land exactly on a 7th-decimal rounding boundary
+    return pr.ranks.select("id", F.round("rank", 6).alias("pr"))
+
+
+def _q_pagerank_pref(spark, sf):
+    """Non-uniform preference vector (strongly preferential dangling mode):
+    pref(id) proportional to id+1."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph
+    from webgraph_rs_spark.algorithms import pagerank
+
+    g = functional_graph(spark, sf)
+    pref = spark.range(1024).select(
+        "id", ((F.col("id") + 1) / 524800.0).alias("pref")
+    )
+    pr = pagerank(
+        g, alpha=PR_ALPHA, mode="strongly", preference=pref,
+        threshold=None, max_iter=10,
+    )
+    return pr.ranks.select("id", F.round("rank", 7).alias("pr"))
+
+
 def _q_cc(spark, sf):
     _import_engine()
     from webgraph_rs_spark.testgraphs import lineitem_graph
@@ -590,6 +641,32 @@ def _q_bfs_tree(spark, sf):
     from webgraph_rs_spark.algorithms import bfs_tree
 
     return bfs_tree(lineitem_graph(spark, sf), [0])
+
+
+def _q_bfs_order(spark, sf):
+    """BFS layout permutation from node 0 (distance, then id; unreached
+    after) — gates the distributed two-phase ranking end to end."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import lineitem_graph
+    from webgraph_rs_spark.algorithms import bfs_order
+
+    return bfs_order(lineitem_graph(spark, sf), [0])
+
+
+def _q_locality(spark, sf):
+    """Successor-gap locality stats (compression diagnostics) — approx
+    percentile dropped from the gate (not SQL-mirrorable exactly)."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import lineitem_graph
+    from webgraph_rs_spark.stats import locality_stats
+
+    s = locality_stats(lineitem_graph(spark, sf))
+    return s.select(
+        F.col("arcs").cast("long").alias("arcs"),
+        F.round("avg_gap", 6).cast("double").alias("avg_gap"),
+        F.col("max_gap").cast("long").alias("max_gap"),
+        F.round("avg_log2_gap", 6).cast("double").alias("avg_log2_gap"),
+    )
 
 
 def _q_topo(spark, sf):
@@ -723,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "successors_0": _q_successors0,
         "pagerank": _q_pagerank,
         "pagerank_topk": _q_pagerank_topk,
+        "pagerank_pseudo": _q_pagerank_pseudo,
+        "pagerank_pref": _q_pagerank_pref,
         "cc_labels": _q_cc,
         "cc_star_labels": _q_cc_star,
         "cc_renumbered": _q_cc_sizes,
@@ -731,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_from_0": _q_bfs,
         "bfs_tree_from_0": _q_bfs_tree,
+        "bfs_order_from_0": _q_bfs_order,
+        "locality_stats": _q_locality,
         "scc_labels": _q_scc,
         "scc_labels_dense": _q_scc_dense,
         "scc_renumbered": _q_scc_renumbered,
@@ -799,6 +880,15 @@ SELECT
         "pagerank": _pagerank_sql(),
         "pagerank_topk": _pagerank_sql()
         + "\nORDER BY pr DESC, id ASC LIMIT 20",
+        "pagerank_pseudo": _pagerank_sql(
+            iters=10, edges_sql=SQL_FUNC_EDGES, mode="pseudo"
+        ).replace("round(pr, 7)", "round(pr, 6)"),
+        "pagerank_pref": _pagerank_sql(
+            iters=10,
+            edges_sql=SQL_FUNC_EDGES,
+            mode="strongly",
+            pref_sql="(v.id + 1)/524800.0",
+        ),
         "cc_labels": _cc_sql(),
         "cc_star_labels": _cc_sql(),
         "cc_renumbered": _cc_sql().replace(
@@ -817,6 +907,25 @@ SELECT fin.id, rn.new_label AS label FROM fin JOIN rn ON fin.label = rn.label"""
 SELECT v.id, coalesce(per.cnt, 0) AS triangles FROM v LEFT JOIN per ON v.id = per.id""",
         "bfs_from_0": _bfs_sql(),
         "bfs_tree_from_0": _bfs_tree_sql(),
+        "bfs_order_from_0": _bfs_sql().replace(
+            f"SELECT id, distance FROM d{BFS_ITERS}",
+            f""", v AS ({SQL_V}),
+dist AS (SELECT id, distance FROM d{BFS_ITERS}),
+allv AS (SELECT v.id, coalesce(dist.distance, 4611686018427387904) AS dd
+         FROM v LEFT JOIN dist ON v.id = dist.id)
+SELECT id AS old_id,
+       (row_number() OVER (ORDER BY dd, id) - 1)::BIGINT AS new_id
+FROM allv""",
+        ),
+        "locality_stats": f"""
+WITH e AS ({SQL_EDGES}),
+g AS (SELECT src, dst, lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev FROM e),
+gp AS (SELECT CASE WHEN prev IS NULL THEN abs(dst - src) ELSE dst - prev END AS gap FROM g)
+SELECT count(*)::BIGINT AS arcs, round(avg(gap), 6)::DOUBLE AS avg_gap,
+       max(gap)::BIGINT AS max_gap,
+       round(avg(log2(abs(gap) + 1.0)), 6)::DOUBLE AS avg_log2_gap
+FROM gp
+""",
         "scc_labels": _scc_sql(SQL_FUNC_EDGES),
         "scc_labels_dense": _scc_sql(SQL_EDGES),
         "scc_renumbered": _scc_sql(SQL_FUNC_EDGES, renumber=True),
