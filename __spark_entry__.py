@@ -1079,6 +1079,30 @@ def _q_lsh_buckets(spark, sf):
     return lsh_buckets(emb)
 
 
+def _q_emb_near_dups(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.4)
+
+
+def _q_ivf_cells(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import ivf_assign
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_assign(emb)
+
+
+def _q_ivf_ann(spark, sf):
+    _import_engine()
+    from webgraph_rs_spark.textops import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_ann_topk(emb, [100, 101, 102, 103, 104], k=5)
+
+
 def _q_multimodal(spark, sf):
     _import_engine()
     _ship_package(spark)
@@ -1330,6 +1354,79 @@ def _lsh_buckets_sql() -> str:
     return f"SELECT e.vec_id, ({assemble})::BIGINT AS bucket FROM embeddings e"
 
 
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _emb_near_dups_sql(threshold: float = 0.4) -> str:
+    cos = _COS_SQL.format(a="ea.v", b="eb.v")
+    return f"""
+WITH bk AS MATERIALIZED ({_lsh_buckets_sql()}),
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT l.vec_id AS a, r.vec_id AS b
+      FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT p.a, p.b, {cos} AS cos_sim
+FROM p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _ivf_ctes(n_cells: int = 16) -> str:
+    cos = _COS_SQL.format(a="e.v", b="c.centroid")
+    return f"""
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS MATERIALIZED (
+  SELECT seed_id, centroid,
+         (row_number() OVER (ORDER BY seed_id) - 1)::BIGINT AS cell
+  FROM (SELECT vec_id AS seed_id, v AS centroid FROM e
+        ORDER BY vec_id LIMIT {n_cells})
+),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, c.cell, {cos} AS sim FROM e, c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+def _ivf_ann_sql(query_ids, k: int = 5, n_probe: int = 4) -> str:
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    cos_qc = _COS_SQL.format(a="q.qv", b="c.centroid")
+    cos_qn = _COS_SQL.format(a="pr.qv", b="en.v")
+    return f"""
+WITH {_ivf_ctes()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qlist})),
+qc AS (SELECT q.query_id, q.qv, c.cell, {cos_qc} AS sim FROM q, c),
+pr AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM qc
+  ) WHERE rn <= {n_probe}
+),
+sims AS (
+  SELECT DISTINCT pr.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cos_sim
+  FROM pr JOIN assign a ON pr.cell = a.cell
+  JOIN e en ON a.vec_id = en.vec_id
+  WHERE a.vec_id != pr.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rnk
+FROM sims
+QUALIFY rnk <= {k}
+"""
+
+
 def _multimodal_sql() -> str:
     return """
 WITH dims AS (
@@ -1384,6 +1481,9 @@ _TEXTOPS_QUERIES = {
     "simhash_near_dups": _q_simhash_dups,
     "cosine_topk": _q_cosine_topk,
     "lsh_buckets": _q_lsh_buckets,
+    "embedding_near_dups": _q_emb_near_dups,
+    "ivf_cells": _q_ivf_cells,
+    "ivf_ann_topk": _q_ivf_ann,
     "multimodal_meta": _q_multimodal,
     "rolling_fingerprints": _q_rolling_fp,
 }
@@ -1416,6 +1516,9 @@ FROM documents
         "simhash_near_dups": _simhash_dups_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "lsh_buckets": _lsh_buckets_sql(),
+        "embedding_near_dups": _emb_near_dups_sql(),
+        "ivf_cells": f"WITH {_ivf_ctes()} SELECT vec_id, cell FROM assign",
+        "ivf_ann_topk": _ivf_ann_sql([100, 101, 102, 103, 104]),
         "multimodal_meta": _multimodal_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),
     }

@@ -259,3 +259,73 @@ def test_frame_sample_stub_raises(spark):
     )
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_ivf_ann_recall_and_assignment(spark):
+    from webgraph_rs_spark.textops import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    # every vector lands in exactly one of the n_cells cells
+    assign = ivf_assign(emb, n_cells=8).collect()
+    assert len(assign) == n
+    cells = {r["cell"] for r in assign}
+    assert cells <= set(range(8))
+    # seed vectors are their own nearest centroid (cosine 1 with themselves)
+    cts = {r["seed_id"]: r["cell"] for r in ivf_centroids(emb, 8).collect()}
+    amap = {r["vec_id"]: r["cell"] for r in assign}
+    for seed_id, cell in cts.items():
+        assert amap[seed_id] == cell
+    # probing more cells monotonically improves recall vs exact
+    qids = list(range(20, 30))
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    r1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qids, k=5, n_cells=8, n_probe=2).collect()
+    }
+    r2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, qids, k=5, n_cells=8, n_probe=8).collect()
+    }
+    rec1 = len(ex & r1) / len(ex)
+    rec2 = len(ex & r2) / len(ex)
+    assert rec2 >= rec1
+    assert rec2 == 1.0  # probing ALL cells = exact
+
+
+def test_embedding_near_dups_exact_within_buckets(spark):
+    """Every reported pair must be a true >= threshold pair (precision 1.0);
+    recall is bounded by bucket collisions — planted duplicate vectors
+    always collide (identical sign pattern) and must be found."""
+    import numpy as np
+    from webgraph_rs_spark.textops import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = embedding_near_dups(emb, threshold=0.4).collect()
+    for r in got:
+        a, b = vecs[r["a"]], vecs[r["b"]]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert round(true, 6) >= 0.4
+        assert abs(round(true, 6) - r["cos_sim"]) < 1e-9
+    # planted exact duplicates: append copies of vec 0 and 1
+    dup = emb.limit(2).selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    )
+    with_dups = emb.unionByName(dup)
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(with_dups, threshold=0.999).collect()
+    }
+    base_ids = sorted(vecs)[:2]
+    for i, bid in enumerate(base_ids):
+        assert (bid, bid + 100000) in pairs

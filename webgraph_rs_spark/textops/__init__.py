@@ -24,6 +24,10 @@ from webgraph_rs_spark.textops.dedup import (  # noqa: F401
 )
 from webgraph_rs_spark.textops.similarity import (  # noqa: F401
     cosine_topk,
+    embedding_near_dups,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_centroids,
     lsh_buckets,
     lsh_ann_topk,
 )

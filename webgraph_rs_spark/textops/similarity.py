@@ -178,3 +178,173 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long"))
     )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs embedding near-duplicates: (a, b, cos_sim) with a < b and
+    cosine >= threshold, candidates restricted to the SAME LSH bucket.
+
+    The dedup-by-embedding primitive of a training-data pipeline: never
+    all-pairs — the only quadratic term is within-bucket (2^n_planes
+    buckets; near-identical vectors collide by construction since every
+    hyperplane sign agrees for vectors at angle ~0). Recall loss at the
+    threshold boundary is the standard LSH trade; verification is exact.
+    """
+    b = lsh_buckets(emb, n_planes, id_col, vec_col)
+    withb = emb.join(b, id_col)
+    l = withb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    r = withb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- IVF index
+
+IVF_CELLS = 16
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, centroid): deterministic seed centroids — the ``n_cells``
+    corpus vectors with the smallest ids. A k-means refinement would drop in
+    here unchanged (the index layout below only needs SOME centroid table);
+    seeded selection keeps the whole index reproducible and oracle-checkable.
+    """
+    return (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("centroid")
+        )
+        .withColumn(
+            "cell",
+            F.row_number()
+            .over(W.orderBy("seed_id"))
+            .cast("long")
+            - 1,
+        )
+        .select("cell", "seed_id", "centroid")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest-centroid (max cosine) assignment — the inverted
+    file. Centroids BROADCAST (they are tiny by construction at any corpus
+    size), so assignment is one map-side pass over the corpus: O(n * cells)
+    flops, no shuffle. Ties break to the lower cell id."""
+    cts = centroids if centroids is not None else ivf_centroids(
+        emb, n_cells, id_col, vec_col
+    )
+    scored = emb.crossJoin(
+        F.broadcast(cts.select("cell", "centroid"))
+    ).select(
+        F.col(id_col),
+        "cell",
+        F.round(
+            _dot(F.col(vec_col), F.col("centroid"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("centroid"))),
+            6,
+        ).alias("sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cell"))
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` highest-
+    cosine cells and re-ranks exactly within them (output shape of
+    :func:`cosine_topk`). The 100 TB shape: centroid scoring is broadcast
+    map-side; the candidate join hits only probed cells of the inverted
+    file (cells are the natural partition key for the corpus at rest)."""
+    cts = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assign = ivf_assign(emb, cts, n_cells, id_col, vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qcells = q.crossJoin(F.broadcast(cts.select("cell", "centroid"))).select(
+        "query_id",
+        "qv",
+        "cell",
+        F.round(
+            _dot(F.col("qv"), F.col("centroid"))
+            / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
+            6,
+        ).alias("sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    c = emb.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    sims = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long"))
+    )
