@@ -1116,6 +1116,47 @@ def _q_multimodal(spark, sf):
     return feats.select("doc_id", "width", "height", "n_bytes", "pixel_sum")
 
 
+def _q_frame_sample(spark, sf):
+    _import_engine()
+    _ship_package(spark)
+    from webgraph_rs_spark.textops.multimodal import (
+        frame_sample,
+        synthesize_videos,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").orderBy("doc_id").limit(200)
+    frames = frame_sample(synthesize_videos(docs), every_n=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+    )
+
+
+def _q_audio_features(spark, sf):
+    _import_engine()
+    _ship_package(spark)
+    from webgraph_rs_spark.textops.multimodal import (
+        decode_audio_features,
+        synthesize_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").orderBy("doc_id").limit(200)
+    feats = decode_audio_features(synthesize_audio(docs))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        *[
+            F.round(F.col("band_energy")[i], 6).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def _q_rolling_fp(spark, sf):
     _import_engine()
     from webgraph_rs_spark.textops.textstats import rolling_fingerprints
@@ -1447,6 +1488,54 @@ FROM px
 """
 
 
+def _frame_sample_sql() -> str:
+    return """
+WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+dims AS (SELECT doc_id, 8 + doc_id % 9 AS nf, 16 + doc_id % 16 AS w,
+                16 + (doc_id * 3) % 16 AS h FROM d)
+SELECT doc_id, u.f::INT AS frame_idx, (8 + w * h)::BIGINT AS n_bytes
+FROM dims, unnest(generate_series(0, nf - 1, 4)) AS u(f)
+"""
+
+
+def _audio_features_sql() -> str:
+    return """
+WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+meta AS (SELECT doc_id, 8000::BIGINT AS sample_rate,
+                (800 + (doc_id % 5) * 400)::BIGINT AS n FROM d),
+s AS MATERIALIZED (
+  SELECT m.doc_id, u.t AS t,
+         (((m.doc_id * 13 + u.t * u.t) % 4001) - 2000)::DOUBLE AS v, m.n
+  FROM meta m, unnest(generate_series(0, m.n - 1)) AS u(t)
+),
+b AS (SELECT doc_id, v, n,
+             CASE WHEN t < ((n // 4) + 1) * (n % 4)
+                  THEN t // ((n // 4) + 1)
+                  ELSE (n % 4) + (t - ((n // 4) + 1) * (n % 4)) // (n // 4)
+             END AS band
+      FROM s),
+be AS (SELECT doc_id, band, round(avg(v * v), 6) AS e
+       FROM b GROUP BY doc_id, band),
+bp AS (SELECT doc_id,
+              max(CASE WHEN band = 0 THEN e END) AS band0,
+              max(CASE WHEN band = 1 THEN e END) AS band1,
+              max(CASE WHEN band = 2 THEN e END) AS band2,
+              max(CASE WHEN band = 3 THEN e END) AS band3
+       FROM be GROUP BY doc_id),
+zcs AS (SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM s),
+zc AS (SELECT doc_id,
+              sum(CASE WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END)::BIGINT AS z
+       FROM zcs GROUP BY doc_id),
+agg AS (SELECT doc_id, round(sqrt(avg(v * v)), 6) AS rms FROM s GROUP BY doc_id)
+SELECT meta.doc_id, meta.sample_rate, meta.n AS n_samples,
+       round(meta.n / 8000.0, 6) AS duration_sec, agg.rms,
+       zc.z AS zero_crossings, bp.band0, bp.band1, bp.band2, bp.band3
+FROM meta JOIN agg USING (doc_id) JOIN zc USING (doc_id) JOIN bp USING (doc_id)
+"""
+
+
 def _rolling_fp_sql(window: int = 8) -> str:
     toks = TOKS_SQL.format(col="text")
     return f"""
@@ -1485,6 +1574,8 @@ _TEXTOPS_QUERIES = {
     "ivf_cells": _q_ivf_cells,
     "ivf_ann_topk": _q_ivf_ann,
     "multimodal_meta": _q_multimodal,
+    "frame_sample_meta": _q_frame_sample,
+    "audio_features": _q_audio_features,
     "rolling_fingerprints": _q_rolling_fp,
 }
 
@@ -1520,6 +1611,8 @@ FROM documents
         "ivf_cells": f"WITH {_ivf_ctes()} SELECT vec_id, cell FROM assign",
         "ivf_ann_topk": _ivf_ann_sql([100, 101, 102, 103, 104]),
         "multimodal_meta": _multimodal_sql(),
+        "frame_sample_meta": _frame_sample_sql(),
+        "audio_features": _audio_features_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),
     }
 

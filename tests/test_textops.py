@@ -329,3 +329,64 @@ def test_embedding_near_dups_exact_within_buckets(spark):
     base_ids = sorted(vecs)[:2]
     for i, bid in enumerate(base_ids):
         assert (bid, bid + 100000) in pairs
+
+
+def test_video_frames_compose_with_image_ops(spark, docs):
+    """video -> frame_sample -> decode_image_features composes, and the
+    decoded pixel sums match the closed-form frame formula."""
+    from webgraph_rs_spark.textops.multimodal import (
+        decode_image_features,
+        frame_sample,
+        synthesize_videos,
+    )
+
+    vids = synthesize_videos(docs.limit(20))
+    frames = frame_sample(vids, every_n=4)
+    rows = frames.collect()
+    for r in rows:
+        assert bytes(r["frame"][:4]) == b"FIMG"
+    # closed-form: per doc, frames 0,4,8 while < nf
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc_id, idxs in by_doc.items():
+        nf = 8 + doc_id % 9
+        assert sorted(idxs) == list(range(0, nf, 4))
+    # frames decode through the IMAGE operator; pixel sums are closed-form
+    feats = decode_image_features(
+        frames.selectExpr("doc_id", "frame AS image")
+    ).collect()
+    # frame f of doc d has pixels (d + 7f + 31x + 17y) % 251 — check one doc
+    did = rows[0]["doc_id"]
+    w, h = 16 + did % 16, 16 + (did * 3) % 16
+    exp0 = sum(
+        (did + 31 * x + 17 * y) % 251 for x in range(w) for y in range(h)
+    )
+    got0 = [f for f in feats if f["doc_id"] == did]
+    assert any(f["pixel_sum"] == exp0 for f in got0)
+    # corrupt payloads vanish silently
+    import pyspark.sql.functions as SF
+
+    bad = vids.limit(3).select("doc_id", SF.lit(b"JUNK").alias("video"))
+    assert frame_sample(bad).count() == 0
+
+
+def test_audio_features_closed_form(spark, docs):
+    import numpy as np
+    from webgraph_rs_spark.textops.multimodal import (
+        decode_audio_features,
+        synthesize_audio,
+    )
+
+    feats = decode_audio_features(synthesize_audio(docs.limit(25))).collect()
+    assert len(feats) == 25
+    for r in feats:
+        n = 800 + (r["doc_id"] % 5) * 400
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == 8000
+        t = np.arange(n, dtype=np.int64)
+        s = (((r["doc_id"] * 13 + t * t) % 4001) - 2000).astype(np.float64)
+        assert abs(r["rms"] - round(float(np.sqrt((s * s).mean())), 6)) < 1e-9
+        sign = np.signbit(s)
+        assert r["zero_crossings"] == int((sign[1:] != sign[:-1]).sum())
+        assert len(r["band_energy"]) == 4
