@@ -1,0 +1,3 @@
+from webgraph_rs_spark.cli import main
+
+raise SystemExit(main())

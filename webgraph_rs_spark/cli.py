@@ -1,0 +1,259 @@
+"""Command-line face of the engine — the analogue of the reference's
+``webgraph`` / ``webgraph-sccs`` binaries (``cli/src/main.rs``,
+``cli/src/sccs.rs``): every subcommand maps onto the library surface and
+reads/writes stored graphs (`io.read_graph`/`io.write_graph`) and vertex
+states (`io.write_vertex_state`).
+
+    python -m webgraph_rs_spark from-arcs  --input arcs.tsv --output g/
+    python -m webgraph_rs_spark stats      --graph g/
+    python -m webgraph_rs_spark pagerank   --graph g/ --out ranks/
+    python -m webgraph_rs_spark sccs       --graph g/ --out labels/
+    python -m webgraph_rs_spark bfs        --graph g/ --root 0 --out dist/
+    python -m webgraph_rs_spark hyperball  --graph g/ --out cent/
+    python -m webgraph_rs_spark sumsweep   --graph g/
+    python -m webgraph_rs_spark llp        --graph g/ --out perm/
+    python -m webgraph_rs_spark transpose  --graph g/ --output gt/
+    python -m webgraph_rs_spark er         --n 1000 --p 0.01 --output g/
+
+Reference parity notes per subcommand live on the handlers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from webgraph_rs_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"webgraph_{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _load(spark, args):
+    from webgraph_rs_spark.io import read_graph
+
+    return read_graph(spark, args.graph, validate=args.validate)
+
+
+def _emit(df, out: str | None, fmt: str = "parquet"):
+    from webgraph_rs_spark.io import write_vertex_state
+
+    if out:
+        write_vertex_state(df, out, fmt=fmt)
+    else:
+        for row in df.limit(20).collect():
+            print(json.dumps(row.asDict(), default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="webgraph_rs_spark")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def g_arg(sp, out=True):
+        sp.add_argument("--graph", required=True)
+        sp.add_argument("--validate", action="store_true")
+        if out:
+            sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("from-arcs", help="ingest a TSV/CSV arc list (cli/src/from/arcs.rs)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--sep", default="\t")
+    sp.add_argument("--num-nodes", type=int, default=None)
+
+    sp = sub.add_parser("to-arcs", help="export the arc list (cli/src/to/arcs.rs)")
+    g_arg(sp, out=False)
+    sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("recompress", help="canonical-sort rewrite (to bvgraph analogue)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+
+    for name in ("stats", "triangles", "acyclic", "sumsweep"):
+        sp = sub.add_parser(name)
+        g_arg(sp, out=False)
+        if name == "sumsweep":
+            sp.add_argument("--mode", default="radius_diameter",
+                            choices=["radius_diameter", "all"])
+            sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("pagerank", help="algo/src/rank/pagerank.rs semantics")
+    g_arg(sp)
+    sp.add_argument("--alpha", type=float, default=0.85)
+    sp.add_argument("--mode", default="strongly",
+                    choices=["strongly", "weakly", "pseudo"])
+    sp.add_argument("--max-iter", type=int, default=100)
+    sp.add_argument("--threshold", type=float, default=1e-6)
+
+    for name, help_ in (
+        ("cc", "connected components (min-label)"),
+        ("cc-star", "small-star/large-star components"),
+        ("sccs", "directed SCC, trim + coloring (webgraph-sccs analogue)"),
+        ("topo", "topological levels (Kahn peel)"),
+    ):
+        sp = sub.add_parser(name, help=help_)
+        g_arg(sp)
+        sp.add_argument("--renumber", action="store_true",
+                        help="renumber labels by decreasing size (sort_by_size)")
+
+    sp = sub.add_parser("bfs")
+    g_arg(sp)
+    sp.add_argument("--root", type=int, nargs="+", default=[0])
+    sp.add_argument("--tree", action="store_true", help="emit predecessors")
+
+    sp = sub.add_parser("perm-bfs", help="BFS layout permutation (cli/src/perm/bfs.rs)")
+    g_arg(sp)
+    sp.add_argument("--root", type=int, nargs="+", default=[0])
+
+    sp = sub.add_parser("llp", help="layered label propagation permutation")
+    g_arg(sp)
+    sp.add_argument("--gammas", type=float, nargs="+", default=[0.0, 0.25, 0.5, 1.0])
+    sp.add_argument("--iters-per-gamma", type=int, default=10)
+
+    sp = sub.add_parser("hyperball")
+    g_arg(sp)
+    sp.add_argument("--max-iter", type=int, default=64)
+    sp.add_argument("--lg-k", type=int, default=11)
+
+    sp = sub.add_parser("er", help="seeded Erdos-Renyi generator")
+    sp.add_argument("--n", type=int, required=True)
+    sp.add_argument("--p", type=float, required=True)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("transpose")
+    g_arg(sp, out=False)
+    sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("symmetrize")
+    g_arg(sp, out=False)
+    sp.add_argument("--output", required=True)
+
+    args = p.parse_args(argv)
+    spark = _spark(args)
+
+    if args.cmd == "from-arcs":
+        from webgraph_rs_spark.graph import from_arc_list, from_edges
+        from webgraph_rs_spark.io import write_graph
+
+        g = from_arc_list(spark, args.input, sep=args.sep)
+        if args.num_nodes:
+            g = from_edges(spark, g.edges, num_nodes=args.num_nodes, layout=False)
+        print(json.dumps(write_graph(g, args.output)))
+    elif args.cmd == "to-arcs":
+        from webgraph_rs_spark.io import to_arcs_csv
+
+        to_arcs_csv(_load(spark, args), args.output)
+    elif args.cmd == "recompress":
+        from webgraph_rs_spark.io import recompress
+
+        print(json.dumps(recompress(spark, args.input, args.output)))
+    elif args.cmd == "stats":
+        from webgraph_rs_spark.stats import graph_stats
+
+        row = graph_stats(_load(spark, args)).collect()[0]
+        print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "triangles":
+        from webgraph_rs_spark.algorithms import triangle_count
+
+        print(json.dumps({"triangles": int(triangle_count(_load(spark, args)))}))
+    elif args.cmd == "acyclic":
+        from webgraph_rs_spark.algorithms import is_acyclic
+
+        print(json.dumps({"acyclic": bool(is_acyclic(_load(spark, args)))}))
+    elif args.cmd == "sumsweep":
+        from webgraph_rs_spark.algorithms import exact_sum_sweep
+
+        res = exact_sum_sweep(_load(spark, args), mode=args.mode)
+        print(json.dumps({
+            "radius": res.radius, "diameter": res.diameter,
+            "radial_node": res.radial_node, "diametral_node": res.diametral_node,
+            "pivots": res.pivots_used, "converged": res.converged,
+        }))
+        if args.mode == "all" and args.out:
+            _emit(res.eccentricities, args.out)
+    elif args.cmd == "pagerank":
+        from webgraph_rs_spark.algorithms import pagerank
+
+        res = pagerank(
+            _load(spark, args), alpha=args.alpha, mode=args.mode,
+            threshold=args.threshold, max_iter=args.max_iter,
+        )
+        print(json.dumps({"iterations": res.iterations, "err": res.err}))
+        _emit(res.ranks.orderBy("rank", ascending=False), args.out)
+    elif args.cmd in ("cc", "cc-star", "sccs"):
+        from webgraph_rs_spark.algorithms import (
+            cc_star,
+            connected_components,
+            renumber_by_size,
+            strongly_connected_components,
+        )
+
+        fn = {"cc": connected_components, "cc-star": cc_star,
+              "sccs": strongly_connected_components}[args.cmd]
+        res = fn(_load(spark, args))
+        labels = res.labels
+        if args.renumber:
+            labels = renumber_by_size(labels)
+        n_comp = labels.select("label").distinct().count()
+        print(json.dumps({"components": int(n_comp)}))
+        _emit(labels, args.out)
+    elif args.cmd == "topo":
+        from webgraph_rs_spark.algorithms import topological_levels
+
+        res = topological_levels(_load(spark, args))
+        _emit(res.levels, args.out)
+    elif args.cmd == "bfs":
+        from webgraph_rs_spark.algorithms import bfs_distances, bfs_tree
+
+        g = _load(spark, args)
+        if args.tree:
+            _emit(bfs_tree(g, args.root), args.out)
+        else:
+            _emit(bfs_distances(g, args.root).distances, args.out)
+    elif args.cmd == "perm-bfs":
+        from webgraph_rs_spark.algorithms import bfs_order
+
+        _emit(bfs_order(_load(spark, args), args.root), args.out)
+    elif args.cmd == "llp":
+        from webgraph_rs_spark.algorithms import llp
+
+        res = llp(_load(spark, args), gammas=tuple(args.gammas),
+                  iters_per_gamma=args.iters_per_gamma)
+        print(json.dumps({"gamma_costs": {str(k): v for k, v in
+                                          res.gamma_costs.items()},
+                          "final_cost": res.final_cost}))
+        _emit(res.permutation, args.out)
+    elif args.cmd == "hyperball":
+        from webgraph_rs_spark.algorithms import hyperball
+
+        res = hyperball(_load(spark, args), max_iter=args.max_iter,
+                        lg_k=args.lg_k)
+        print(json.dumps({"iterations": res.iterations,
+                          "neighborhood_function": res.neighborhood_function}))
+        _emit(res.centralities, args.out)
+    elif args.cmd == "er":
+        from webgraph_rs_spark.generators import erdos_renyi
+        from webgraph_rs_spark.io import write_graph
+
+        g = erdos_renyi(spark, args.n, args.p, seed=args.seed)
+        print(json.dumps(write_graph(g, args.output)))
+    elif args.cmd in ("transpose", "symmetrize"):
+        from webgraph_rs_spark.io import write_graph
+        from webgraph_rs_spark.transforms import symmetrize, transpose
+
+        fn = transpose if args.cmd == "transpose" else symmetrize
+        print(json.dumps(write_graph(fn(_load(spark, args)), args.output)))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
