@@ -50,3 +50,50 @@ def test_cli_roundtrip_and_algorithms(spark, tmp_path, capsys):
     bfs_rows = _run(capsys, "bfs", "--graph", tdir, "--root", "4", "--tree")
     by_id = {r["id"]: r for r in bfs_rows}
     assert by_id[3]["distance"] == 1 and by_id[3]["pred"] == 4
+
+
+def test_cli_transform_and_check_surface(spark, tmp_path, capsys):
+    arcs = tmp_path / "arcs2.tsv"
+    arcs.write_text("0\t1\n1\t0\n1\t2\n2\t1\n")
+    gdir = str(tmp_path / "g2")
+    _run(capsys, "from-arcs", "--input", str(arcs), "--output", gdir)
+
+    chk = _run(capsys, "check-symm", "--graph", gdir)[-1]
+    assert chk == {"asymmetric_arcs": 0, "symmetric": True}
+
+    eq = _run(capsys, "check-eq", "--graph", gdir, "--other", gdir)[-1]
+    assert eq == {"equal": True}
+
+    loc = _run(capsys, "locality", "--graph", gdir)[-1]
+    assert loc["arcs"] == 4
+
+    perm_out = str(tmp_path / "perm")
+    _run(capsys, "perm-rand", "--n", "3", "--seed", "7", "--out", perm_out)
+    prm = {r["old_id"]: r["new_id"] for r in spark.read.parquet(perm_out).collect()}
+    assert sorted(prm.values()) == [0, 1, 2]
+
+    pg = str(tmp_path / "gp")
+    _run(capsys, "permute", "--graph", gdir, "--perm", perm_out, "--output", pg)
+    eq2 = _run(capsys, "check-eq", "--graph", gdir, "--other", pg)[-1]
+    # a permuted graph generally differs as an edge set but keeps arc count
+    man = json.loads(open(os.path.join(pg, "manifest.json")).read())
+    assert man["arcs"] == 4
+
+    comp_out = str(tmp_path / "comp")
+    _run(capsys, "perm-comp", "--first", perm_out, "--second", perm_out,
+         "--out", comp_out)
+    comp = {r["old_id"]: r["new_id"] for r in spark.read.parquet(comp_out).collect()}
+    assert comp == {k: prm[prm[k]] for k in prm}
+
+    # bipartite birank through the CLI
+    bip = tmp_path / "bip"
+    spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10), (2, 12)], "u long, p long"
+    ).write.parquet(str(bip))
+    uout, iout = str(tmp_path / "bu"), str(tmp_path / "bi")
+    hdr = _run(capsys, "birank", "--edges", str(bip), "--max-iter", "5",
+               "--threshold", "1e-12", "--out-users", uout,
+               "--out-items", iout)[0]
+    assert hdr["iterations"] >= 1
+    assert spark.read.parquet(uout).count() == 3
+    assert spark.read.parquet(iout).count() == 3

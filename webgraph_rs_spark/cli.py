@@ -137,6 +137,48 @@ def main(argv: list[str] | None = None) -> int:
     g_arg(sp, out=False)
     sp.add_argument("--output", required=True)
 
+    sp = sub.add_parser("to-ascii", help="adjacency text (cli/src/to/ascii.rs)")
+    g_arg(sp)
+
+    sp = sub.add_parser("check-symm", help="count asymmetric arcs (check/symm.rs)")
+    g_arg(sp, out=False)
+
+    sp = sub.add_parser("check-eq", help="graph equality (check/eq.rs)")
+    g_arg(sp, out=False)
+    sp.add_argument("--other", required=True)
+
+    sp = sub.add_parser("locality", help="successor-gap stats (analyze codes analogue)")
+    g_arg(sp, out=False)
+
+    sp = sub.add_parser("perm-rand", help="seeded random permutation (perm/rand.rs)")
+    sp.add_argument("--n", type=int, required=True)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("perm-comp", help="compose permutations (perm/comp.rs)")
+    sp.add_argument("--first", required=True, help="parquet (old_id, new_id)")
+    sp.add_argument("--second", required=True)
+    sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("permute", help="relabel by permutation (transform/perm.rs)")
+    g_arg(sp, out=False)
+    sp.add_argument("--perm", required=True, help="parquet (old_id, new_id)")
+    sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("map", help="contract by mapping (transform/map.rs)")
+    g_arg(sp, out=False)
+    sp.add_argument("--mapping", required=True, help="parquet (old_id, new_id)")
+    sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("birank", help="bipartite BiRank (rank/birank.rs)")
+    sp.add_argument("--edges", required=True, help="parquet (u, p)")
+    sp.add_argument("--alpha", type=float, default=0.85)
+    sp.add_argument("--beta", type=float, default=0.85)
+    sp.add_argument("--max-iter", type=int, default=100)
+    sp.add_argument("--threshold", type=float, default=1e-6)
+    sp.add_argument("--out-users", default=None)
+    sp.add_argument("--out-items", default=None)
+
     args = p.parse_args(argv)
     spark = _spark(args)
 
@@ -252,6 +294,64 @@ def main(argv: list[str] | None = None) -> int:
 
         fn = transpose if args.cmd == "transpose" else symmetrize
         print(json.dumps(write_graph(fn(_load(spark, args)), args.output)))
+    elif args.cmd == "to-ascii":
+        from webgraph_rs_spark.io import to_ascii_adjacency
+
+        _emit(to_ascii_adjacency(_load(spark, args)), args.out, fmt="csv")
+    elif args.cmd == "check-symm":
+        from webgraph_rs_spark.transforms import asymmetric_arcs
+
+        n = asymmetric_arcs(_load(spark, args)).count()
+        print(json.dumps({"asymmetric_arcs": int(n), "symmetric": n == 0}))
+    elif args.cmd == "check-eq":
+        from webgraph_rs_spark.io import read_graph
+        from webgraph_rs_spark.transforms import graphs_equal
+
+        eq = graphs_equal(_load(spark, args), read_graph(spark, args.other))
+        print(json.dumps({"equal": bool(eq)}))
+    elif args.cmd == "locality":
+        from webgraph_rs_spark.stats import locality_stats
+
+        row = locality_stats(_load(spark, args)).collect()[0]
+        print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "perm-rand":
+        from webgraph_rs_spark.generators import random_permutation
+
+        _emit(random_permutation(spark, args.n, seed=args.seed), args.out)
+    elif args.cmd == "perm-comp":
+        from pyspark.sql import functions as F
+
+        p1 = spark.read.parquet(args.first)
+        p2 = spark.read.parquet(args.second)
+        comp = (
+            p1.select("old_id", F.col("new_id").alias("mid"))
+            .join(p2.withColumnRenamed("old_id", "mid"), "mid")
+            .select("old_id", "new_id")
+        )
+        _emit(comp, args.out)
+    elif args.cmd in ("permute", "map"):
+        from webgraph_rs_spark.io import write_graph
+        from webgraph_rs_spark.transforms import map_nodes, permute
+
+        table = spark.read.parquet(
+            args.perm if args.cmd == "permute" else args.mapping
+        )
+        fn = permute if args.cmd == "permute" else map_nodes
+        print(json.dumps(write_graph(fn(_load(spark, args), table), args.output)))
+    elif args.cmd == "birank":
+        from pyspark.sql import functions as F
+        from webgraph_rs_spark.algorithms import birank
+
+        e = spark.read.parquet(args.edges)
+        users = e.select(F.col("u").alias("id")).distinct()
+        items = e.select(F.col("p").alias("id")).distinct()
+        res = birank(e, users, items, alpha=args.alpha, beta=args.beta,
+                     threshold=args.threshold, max_iter=args.max_iter)
+        print(json.dumps({"iterations": res.iterations}))
+        if args.out_users:
+            _emit(res.user_ranks, args.out_users)
+        if args.out_items:
+            _emit(res.item_ranks, args.out_items)
     return 0
 
 

@@ -90,8 +90,10 @@ def to_ascii_adjacency(g: LinkGraph) -> DataFrame:
 
 
 def write_vertex_state(state: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """``seq int/float`` analogue: persist a node-indexed vector."""
-    w = state.orderBy("id").write.mode("overwrite")
+    """``seq int/float`` analogue: persist a node-indexed vector (sorted by
+    its key — the first column: ``id`` for states, ``old_id`` for
+    permutations)."""
+    w = state.orderBy(state.columns[0]).write.mode("overwrite")
     if fmt == "parquet":
         w.parquet(path)
     elif fmt == "csv":
