@@ -114,7 +114,13 @@ def bfs_tree(
         .groupBy(F.col("dst").alias("id"))
         .agg(F.min("src").alias("pred"))
     )
-    return d.join(preds, "id", "left").select("id", "distance", "pred")
+    out = (
+        d.join(preds, "id", "left")
+        .select("id", "distance", "pred")
+        .localCheckpoint()
+    )
+    release_state(d)
+    return out
 
 
 def bfs_order(g: LinkGraph, roots: list[int]) -> DataFrame:
@@ -133,6 +139,8 @@ def bfs_order(g: LinkGraph, roots: list[int]) -> DataFrame:
         "distance", F.lit((1 << 62)).cast("long")
     )
     allv = reached.unionByName(unreached)
-    return ranked(allv, ["distance", "id"], rank_col="new_id").select(
+    out = ranked(allv, ["distance", "id"], rank_col="new_id").select(
         F.col("id").alias("old_id"), "new_id"
-    )
+    ).localCheckpoint()
+    release_state(reached)
+    return out

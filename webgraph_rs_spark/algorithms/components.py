@@ -236,7 +236,9 @@ def cc_star(
     labels = (
         g.vertices.join(parents, "id", "left")
         .select("id", F.least(F.coalesce("label", F.col("id")), F.col("id")).alias("label"))
+        .localCheckpoint()  # materialize so the edge-set state can be freed
     )
+    release_state(res.state)
     return CCResult(labels, res.iterations, res.metrics_history, res.resumed_from)
 
 

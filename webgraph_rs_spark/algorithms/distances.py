@@ -345,7 +345,7 @@ def hyperball(
     release_state(changed)
     release_state(state)
     edges.unpersist()
-    cent = acc.select(
+    cent_plan = acc.select(
         "id",
         "reachable_est",
         "sum_dist_est",
@@ -366,6 +366,10 @@ def hyperball(
         ).alias("nieminen_est"),
         *[F.col(f"{name}_est") for name in discounts],
     )
+    # materialize the getter table and free the accumulator checkpoint —
+    # a projection handed to the caller cannot release its parent's blocks
+    cent = cent_plan.localCheckpoint()
+    release_state(acc)
     return HyperBallResult(nf, cent, it_n, metrics)
 
 
@@ -616,9 +620,8 @@ def exact_sum_sweep(
     rn = bounds.filter(F.col("fu") == radius).agg(F.min("id")).collect()[0][0]
     ecc_df = None
     if want_all:
-        ecc_df = bounds.select("id", F.col("fl").alias("ecc"))
-    else:
-        release_state(bounds)
+        ecc_df = bounds.select("id", F.col("fl").alias("ecc")).localCheckpoint()
+    release_state(bounds)
     fwd.unpersist()
     bwd.unpersist()
     return SumSweepResult(

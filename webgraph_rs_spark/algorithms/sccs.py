@@ -120,9 +120,13 @@ def strongly_connected_components(
             break
 
         # ---- 2. COLOR: forward max propagation (color = max id reaching v)
-        colors = alive.select(
+        # colors_ck is the CHECKPOINTED frame (released via release_state);
+        # colors may be a projection over it — releasing a projection would
+        # leak the parent checkpoint blocks
+        colors_ck = alive.select(
             "id", F.col("id").alias("color")
         ).localCheckpoint()
+        colors = colors_ck
         frontier = colors  # changed (id, color) rows
         fresh_frontier = False  # whether frontier is a separate checkpoint
         while True:
@@ -155,7 +159,8 @@ def strongly_connected_components(
             n_changed = changed.count()
             if fresh_frontier:
                 release_state(frontier)
-            release_state(colors)
+            release_state(colors_ck)
+            colors_ck = new_colors
             colors = new_colors.select("id", "color")
             frontier, fresh_frontier = changed, True
             if n_changed == 0:
@@ -202,7 +207,7 @@ def strongly_connected_components(
 
         member_ids = reached.select("id").localCheckpoint()
         release_state(reached)
-        release_state(colors)
+        release_state(colors_ck)
         old_alive, old_edges = alive, edges
         alive = alive.join(member_ids, "id", "left_anti").localCheckpoint()
         n_alive = alive.count()
@@ -218,7 +223,9 @@ def strongly_connected_components(
     spark = g.edges.sparkSession
     if done is None:
         done = spark.createDataFrame([], "id long, label long")
-    return SCCResult(done.select("id", "label"), rounds, metrics)
+    # `done` is already (id, label) and IS the checkpointed frame — return
+    # it directly so the caller's release_state reaches the checkpoint RDD
+    return SCCResult(done, rounds, metrics)
 
 
 def condensation(g: LinkGraph, labels: DataFrame) -> DataFrame:
