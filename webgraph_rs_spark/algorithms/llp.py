@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_rs_spark.driver import release_state
 from webgraph_rs_spark.graph import LinkGraph, ranked
 from webgraph_rs_spark.algorithms.labelprop import label_propagation
 
@@ -136,5 +137,8 @@ def llp(
     perm.count()
     for df in owned:
         if df is not best_lab:
-            df.unpersist()
+            # release_state, not unpersist: per-gamma labelings are
+            # localCheckpoint products — unpersist alone strands their
+            # checkpoint RDD blocks
+            release_state(df)
     return LLPResult(perm, best_lab, gamma_costs, best_cost)
