@@ -1401,13 +1401,40 @@ _COS_SQL = (
 )
 
 
+def _lsh_band_keys_sql(n_planes: int = 16, n_bands: int = 4) -> str:
+    """Mirror of similarity.lsh_band_keys: one row (vec_id, band, key) per
+    band, key packing the sign bits of that band's planes (bit r of band t
+    is plane j = t*rows + r). DuckDB's unnest index u.i is 1-based, matching
+    the Spark side's (i + 1)."""
+    rows = n_planes // n_bands
+    selects = []
+    for t in range(n_bands):
+        terms = []
+        for r in range(rows):
+            j = t * rows + r
+            base = 1103515245 * (j + 1)
+            dot = (
+                f"(SELECT sum(e.embedding[u.i]::DOUBLE * ((({base} + 12345 * u.i)"
+                f" % 1000 - 500) / 500.0))"
+                f" FROM unnest(generate_series(1, len(e.embedding))) AS u(i))"
+            )
+            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << r} ELSE 0 END")
+        key = " + ".join(terms)
+        selects.append(
+            f"SELECT e.vec_id, {t}::BIGINT AS band, ({key})::BIGINT AS key"
+            f" FROM embeddings e"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def _emb_near_dups_sql(threshold: float = 0.4) -> str:
     cos = _COS_SQL.format(a="ea.v", b="eb.v")
     return f"""
-WITH bk AS MATERIALIZED ({_lsh_buckets_sql()}),
+WITH bk AS MATERIALIZED ({_lsh_band_keys_sql()}),
 e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-p AS (SELECT l.vec_id AS a, r.vec_id AS b
-      FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+p AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                         AND l.vec_id < r.vec_id)
 SELECT p.a, p.b, {cos} AS cos_sim
 FROM p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id
 WHERE {cos} >= {threshold}

@@ -331,6 +331,47 @@ def test_embedding_near_dups_exact_within_buckets(spark):
         assert (bid, bid + 100000) in pairs
 
 
+def test_embedding_near_dups_recall_at_threshold(spark):
+    """Banded LSH recall at the threshold boundary: plant pairs at
+    cos ~ 0.95 (NOT exact duplicates — the old all-8-plane bucket found
+    only ~0.43 of these) and require recall >= 0.9 with the 16-plane /
+    4-band OR-construction. Theory: per-plane agreement p = 1 - theta/pi
+    ~ 0.90 at 18 deg; band recall 1 - (1 - p^4)^4 ~ 0.985."""
+    import numpy as np
+    from webgraph_rs_spark.textops import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    dim, n_pairs = 16, 60
+    rows = []
+    planted = []
+    target = 0.95
+    for p in range(n_pairs):
+        a = rng.normal(size=dim)
+        a /= np.linalg.norm(a)
+        # perturb orthogonally so that cos(a, b) == target exactly
+        r = rng.normal(size=dim)
+        r -= (r @ a) * a
+        r /= np.linalg.norm(r)
+        b = target * a + math.sqrt(1 - target * target) * r
+        ia, ib = 2 * p, 2 * p + 1
+        rows.append((ia, [float(x) for x in a]))
+        rows.append((ib, [float(x) for x in b]))
+        planted.append((ia, ib))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    hit = sum(1 for pr in planted if pr in got)
+    recall = hit / n_pairs
+    assert recall >= 0.9, f"banded LSH recall {recall} < 0.9"
+    # precision stays exact: every reported pair verified >= threshold
+    vecs = {vid: np.array(v) for vid, v in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.9 - 1e-9
+
+
 def test_video_frames_compose_with_image_ops(spark, docs):
     """video -> frame_sample -> decode_image_features composes, and the
     decoded pixel sums match the closed-form frame formula."""

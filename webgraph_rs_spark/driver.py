@@ -165,6 +165,30 @@ class CheckpointStore:
             f.write(json.dumps(line) + "\n")
         return reread
 
+    def update_metrics(self, iteration: int, metrics: dict) -> None:
+        """Backfill the metrics of an already-committed iteration.
+
+        Observe-mode steps resolve their metrics only AFTER the
+        materializing action (i.e. after ``write`` already appended the
+        manifest line with ``{}``); without this backfill a resume would
+        see empty metrics for checkpoint-boundary iterations and a
+        metric-based stop check could never fire at resume time.
+        Rewrite-in-place via temp file + atomic rename.
+        """
+        entries = self.manifest()
+        changed = False
+        for m in entries:
+            if m.get("iteration") == iteration and m.get("complete"):
+                m["metrics"] = {k: _jsonable(v) for k, v in metrics.items()}
+                changed = True
+        if not changed:
+            return
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for m in entries:
+                f.write(json.dumps(m) + "\n")
+        os.replace(tmp, self.manifest_path)
+
     def manifest(self) -> list[dict]:
         if not os.path.exists(self.manifest_path):
             return []
@@ -322,6 +346,10 @@ def iterate(
         if metrics_fn is not None:
             # observed aggregates were collected by the materializing action
             metrics = metrics_fn()
+            if store is not None and do_ckpt:
+                # the manifest line for this iteration was written with {}
+                # before the metrics resolved — backfill so resume sees them
+                store.update_metrics(it, metrics)
             if not do_ckpt and stop.should_stop(it, metrics):
                 # late commit: the loop ends now, make the state durable
                 if store is not None:

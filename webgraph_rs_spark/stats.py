@@ -24,10 +24,45 @@ def degree_distribution(g: LinkGraph, direction: str = "out") -> DataFrame:
 
 
 def graph_stats(g: LinkGraph) -> DataFrame:
-    """One-row summary mirroring the reference's stats report."""
+    """One-row summary mirroring the reference's stats report.
+
+    Single edge scan: each arc explodes into an (id, out, in, loop) pair for
+    its endpoints, one groupBy folds out/in degree AND the self-loop count
+    together (no separate ``filter(src==dst).count()`` action), then a left
+    join against the vertex table restores 0-degree nodes before the final
+    one-row aggregate. One edge scan, one 2|E| shuffle, one job.
+    """
     n = g.num_nodes
-    deg = g.degrees()  # id, out_deg, in_deg
-    agg = deg.agg(
+    loop = (F.col("src") == F.col("dst")).cast("long")
+    pairs = g.edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("id"),
+                    F.lit(1).cast("long").alias("o"),
+                    F.lit(0).cast("long").alias("i"),
+                    loop.alias("loop"),
+                ),
+                F.struct(
+                    F.col("dst").alias("id"),
+                    F.lit(0).cast("long").alias("o"),
+                    F.lit(1).cast("long").alias("i"),
+                    F.lit(0).cast("long").alias("loop"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    deg = pairs.groupBy("id").agg(
+        F.sum("o").alias("out_deg"),
+        F.sum("i").alias("in_deg"),
+        F.sum("loop").alias("loops"),
+    )
+    full = g.vertices.join(deg, "id", "left").select(
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("loops", F.lit(0)).alias("loops"),
+    )
+    return full.agg(
         F.count(F.lit(1)).alias("nodes"),
         F.sum("out_deg").alias("arcs"),
         F.sum(F.when(F.col("out_deg") == 0, 1).otherwise(0)).alias("dangling"),
@@ -38,11 +73,8 @@ def graph_stats(g: LinkGraph) -> DataFrame:
         F.max("out_deg").alias("max_out_deg"),
         F.max("in_deg").alias("max_in_deg"),
         F.avg("out_deg").alias("avg_out_deg"),
-    )
-    loops = g.edges.filter(F.col("src") == F.col("dst")).count()
-    return agg.withColumn("self_loops", F.lit(loops)).withColumn(
-        "num_nodes_declared", F.lit(n)
-    )
+        F.sum("loops").alias("self_loops"),
+    ).withColumn("num_nodes_declared", F.lit(n))
 
 
 def locality_stats(g: LinkGraph) -> DataFrame:

@@ -77,29 +77,31 @@ def streaming_exact_dedup(
     Custom stateful operator via ``applyInPandasWithState``: documents are
     bucketed by a stable hash prefix (``n_buckets`` groups — state
     partitioning key, NOT a semantic key), and each group's state is the
-    set of md5 digests seen so far. This is the streaming face of
-    ``textops.exact_dedup``; at 100 TB the state store holds 16 bytes per
-    distinct document spread over the bucket groups, and the per-batch work
-    is one shuffle on the bucket key.
+    set of md5 digests seen so far, stored as 16-byte binary (so at 100 TB
+    the state store holds ~16 bytes + store overhead per distinct document,
+    spread over the bucket groups); the per-batch work is one shuffle on
+    the bucket key. Output schema == input schema: the internal ``_h`` /
+    ``_bucket`` columns never leak.
     """
     import pandas as pd  # arrow-batched; never per-row
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    hashed = docs_stream.withColumn("_h", F.md5(F.col(text_col))).withColumn(
-        "_bucket", F.pmod(F.xxhash64("_h"), F.lit(n_buckets))
-    )
+    hashed = docs_stream.withColumn(
+        "_h", F.unhex(F.md5(F.col(text_col)))  # 16-byte binary digest
+    ).withColumn("_bucket", F.pmod(F.xxhash64("_h"), F.lit(n_buckets)))
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields
-        if f.name not in ("_bucket",)
+        if f.name not in ("_bucket", "_h")
     )
-    state_schema = "seen array<string>"
+    state_schema = "seen array<binary>"
 
     def dedup_group(key, pdf_iter, state):
-        seen = set(state.get[0]) if state.exists else set()
+        seen = set(bytes(b) for b in state.get[0]) if state.exists else set()
         for pdf in pdf_iter:
             fresh_mask = []
             for h in pdf["_h"]:
+                h = bytes(h)
                 if h in seen:
                     fresh_mask.append(False)
                 else:
@@ -107,7 +109,7 @@ def streaming_exact_dedup(
                     fresh_mask.append(True)
             out = pdf[pd.Series(fresh_mask, index=pdf.index)]
             if len(out):
-                yield out.drop(columns=["_bucket"])
+                yield out.drop(columns=["_bucket", "_h"])
         state.update((list(seen),))
 
     return hashed.groupBy("_bucket").applyInPandasWithState(

@@ -180,33 +180,83 @@ def lsh_ann_topk(
     )
 
 
+def lsh_band_keys(
+    emb: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, key): banded random-hyperplane keys, exploded one row per
+    band. ``n_planes`` sign bits are split into ``n_bands`` contiguous bands
+    of ``n_planes // n_bands`` bits; ``key`` packs the bits of one band.
+    Two vectors are near-dup CANDIDATES iff they agree on at least one band
+    (the same OR-of-ANDs amplification :func:`minhash_lsh_pairs` uses for
+    Jaccard): per-plane agreement p = 1 - angle/pi, so candidate recall is
+    1 - (1 - p^r)^n_bands — at cos 0.95 with 4x4 bands that is ~0.985,
+    versus ~0.43 for a single 8-plane all-bits bucket."""
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be a multiple of n_bands")
+    rows = n_planes // n_bands
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def _mul(j):
+        # closure factory: zip_with requires an exactly-2-arg lambda
+        return lambda x, i: x.cast("double") * _plane_component(j, i)
+
+    band_cols = []
+    for t in range(n_bands):
+        key = None
+        for r in range(rows):
+            j = t * rows + r
+            dot_j = F.aggregate(
+                F.zip_with(v, idx, _mul(j)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            bit = F.when(dot_j >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        band_cols.append(
+            F.struct(F.lit(t).cast("long").alias("band"), key.cast("long").alias("key"))
+        )
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = N_PLANES,
+    n_planes: int = 16,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All-pairs embedding near-duplicates: (a, b, cos_sim) with a < b and
-    cosine >= threshold, candidates restricted to the SAME LSH bucket.
+    cosine >= threshold; candidates are pairs sharing at least one LSH BAND
+    (see :func:`lsh_band_keys`), then verified with the exact cosine.
 
     The dedup-by-embedding primitive of a training-data pipeline: never
-    all-pairs — the only quadratic term is within-bucket (2^n_planes
-    buckets; near-identical vectors collide by construction since every
-    hyperplane sign agrees for vectors at angle ~0). Recall loss at the
-    threshold boundary is the standard LSH trade; verification is exact.
+    all-pairs — the quadratic term is within-(band,key) groups only, and the
+    banded OR-construction keeps recall high at the threshold boundary
+    (~0.985 at cos 0.95 with the 16-plane/4-band default, vs ~0.43 for the
+    old single all-bits bucket). Verification is exact, so precision is 1.
     """
-    b = lsh_buckets(emb, n_planes, id_col, vec_col)
-    withb = emb.join(b, id_col)
-    l = withb.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    r = withb.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    return (
-        l.join(r, "bucket")
+    bk = lsh_band_keys(emb, n_planes, n_bands, id_col, vec_col)
+    l = bk.select(F.col(id_col).alias("a"), "band", "key")
+    r = bk.select(F.col(id_col).alias("b"), "band", "key")
+    cand = (
+        l.join(r, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
         .select(
             "a",
             "b",
