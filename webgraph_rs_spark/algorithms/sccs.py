@@ -54,84 +54,165 @@ class SCCResult:
 
 
 def _restrict(edges: DataFrame, alive: DataFrame) -> DataFrame:
-    """Edges with both endpoints alive (two semi-joins)."""
+    """Edges with both endpoints alive (two broadcast semi-joins).
+
+    Broadcasting the vertex set keeps the edge side's cached hash layout
+    intact (BroadcastHashJoin preserves child partitioning, so the
+    restricted table needs NO new shuffle). At a scale where the alive
+    set outgrows broadcast, swap for shuffled semi-joins + one
+    repartition — the per-iteration plans below are layout-agnostic."""
     return edges.join(
-        alive.withColumnRenamed("id", "src"), "src", "left_semi"
-    ).join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        F.broadcast(alive.withColumnRenamed("id", "src")), "src", "left_semi"
+    ).join(
+        F.broadcast(alive.withColumnRenamed("id", "dst")), "dst", "left_semi"
+    )
 
 
 def strongly_connected_components(
     g: LinkGraph, max_outer: int = 200
 ) -> SCCResult:
-    """Compute SCC labels (label = min node id in the component).
+    """Compute SCC labels (label = min id in the component).
 
     Self-loops are irrelevant to SCC membership and dropped up front.
+
+    Shuffle plan (the 100x-scale shape): the edge table is persisted in
+    BOTH hash layouts — ``by_src`` for forward color propagation,
+    ``by_dst`` for the backward extract BFS — so no iteration ever
+    re-shuffles edges; only vertex-sized and frontier-sized exchanges
+    remain. TRIM runs as degree-delta peeling: per-round full degrees are
+    one exchange-free aggregate over the cached layouts, then each peel
+    joins only the just-died frontier against the edges (broadcast) and
+    patches the degree table — the old restrict-the-whole-edge-table-per-
+    peel plan rebuilt and re-materialized O(E) rows per tendril level.
+    Labels accumulate as views over per-step checkpoints and union once
+    at the end instead of re-materializing the whole labelled set per
+    peel (O(n) per peel -> O(n) total).
     """
     alive = g.vertices.select("id").localCheckpoint()
     n_alive = alive.count()
-    edges = (
-        g.edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .localCheckpoint()
-    )
-    done: DataFrame | None = None
+    base = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    # the two base layouts persist for the whole run; every per-round
+    # restriction derives from them + the CURRENT alive checkpoint only
+    # (constant-depth lineage — chaining restrict-over-restrict would make
+    # an evicted partition's recompute walk released checkpoints)
+    base_src = base.repartition("src").persist()
+    base_dst = base.repartition("dst").persist()
+    by_src, by_dst = base_src, base_dst
     metrics: list[dict] = []
     rounds = 0
+    parts: list[DataFrame] = []  # label frames (views over held checkpoints)
+    hold: list[DataFrame] = []  # checkpoints released after the final union
 
-    def _accumulate(labels: DataFrame) -> None:
-        nonlocal done
-        old = done
-        done = (
-            labels if done is None else done.unionByName(labels)
-        ).localCheckpoint()
-        release_state(old)
+    def _swap_edges(new_alive: DataFrame) -> None:
+        """Re-restrict both layouts from base to new_alive, materialize,
+        then drop the old round's cached tables."""
+        nonlocal by_src, by_dst
+        old_src, old_dst = by_src, by_dst
+        by_src = _restrict(base_src, new_alive).persist()
+        by_dst = _restrict(base_dst, new_alive).persist()
+        by_src.count()  # materialize before the old state goes away
+        by_dst.count()
+        if old_src is not base_src:
+            old_src.unpersist()
+            old_dst.unpersist()
 
     while n_alive > 0 and rounds < max_outer:
         rounds += 1
-        # ---- 1. TRIM to fixpoint: peel in-degree-0 / out-degree-0 nodes
+        # ---- 1. TRIM to fixpoint: peel in/out-degree-0 nodes by deltas
+        outd = by_src.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        ind = by_dst.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("idg")
+        )
+        deg = (
+            alive.join(outd, "id", "left")
+            .join(ind, "id", "left")
+            .select(
+                "id",
+                F.coalesce("od", F.lit(0)).alias("od"),
+                F.coalesce("idg", F.lit(0)).alias("idg"),
+            )
+            .localCheckpoint()
+        )
         trimmed_total = 0
+        trim_iters = 0
         while True:
-            has_out = edges.select(F.col("src").alias("id")).distinct()
-            has_in = edges.select(F.col("dst").alias("id")).distinct()
-            keep = (
-                alive.join(has_out, "id", "left_semi")
-                .join(has_in, "id", "left_semi")
+            trim_iters += 1
+            dead = (
+                deg.filter((F.col("od") <= 0) | (F.col("idg") <= 0))
+                .select("id")
                 .localCheckpoint()
             )
-            n_keep = keep.count()
-            if n_keep == n_alive:
-                release_state(keep)
+            n_dead = dead.count()
+            if n_dead == 0:
+                release_state(dead)
                 break
-            trimmed = alive.join(keep, "id", "left_anti").select(
-                "id", F.col("id").alias("label")
-            )
-            _accumulate(trimmed)
-            trimmed_total += n_alive - n_keep
-            release_state(alive)
-            alive, n_alive = keep, n_keep
-            old_edges = edges
-            edges = _restrict(edges, alive).localCheckpoint()
-            release_state(old_edges)
+            parts.append(dead.select("id", F.col("id").alias("label")))
+            hold.append(dead)
+            trimmed_total += n_dead
+            n_alive -= n_dead
             if n_alive == 0:
+                release_state(deg)
+                deg = None
                 break
+            # degree deltas: only edges touching the dead frontier
+            d_out = (
+                by_src.join(
+                    F.broadcast(dead.withColumnRenamed("id", "dst")),
+                    "dst",
+                    "left_semi",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).alias("xo"))
+            )
+            d_in = (
+                by_dst.join(
+                    F.broadcast(dead.withColumnRenamed("id", "src")),
+                    "src",
+                    "left_semi",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).alias("xi"))
+            )
+            new_deg = (
+                deg.join(dead, "id", "left_anti")
+                .join(d_out, "id", "left")
+                .join(d_in, "id", "left")
+                .select(
+                    "id",
+                    (F.col("od") - F.coalesce("xo", F.lit(0))).alias("od"),
+                    (F.col("idg") - F.coalesce("xi", F.lit(0))).alias("idg"),
+                )
+                .localCheckpoint()
+            )
+            release_state(deg)
+            deg = new_deg
         if n_alive == 0:
             metrics.append({"round": rounds, "trimmed": trimmed_total,
                             "extracted": 0, "alive": 0})
             break
+        if trimmed_total:
+            old_alive = alive
+            alive = deg.select("id").localCheckpoint()
+            _swap_edges(alive)
+            release_state(old_alive)
+        if deg is not None:
+            release_state(deg)
 
         # ---- 2. COLOR: forward max propagation (color = max id reaching v)
-        # colors_ck is the CHECKPOINTED frame (released via release_state);
-        # colors may be a projection over it — releasing a projection would
-        # leak the parent checkpoint blocks
+        # colors/frontier are views over the one checkpointed frame per
+        # iteration (releasing a projection would leak the parent blocks)
         colors_ck = alive.select(
-            "id", F.col("id").alias("color")
+            "id", F.col("id").alias("color"), F.lit(True).alias("_chg")
         ).localCheckpoint()
-        colors = colors_ck
-        frontier = colors  # changed (id, color) rows
-        fresh_frontier = False  # whether frontier is a separate checkpoint
+        colors = colors_ck.select("id", "color")
+        frontier = colors
+        color_iters = 0
         while True:
+            color_iters += 1
             nbr_max = (
-                edges.join(
+                by_src.join(
                     frontier.withColumnRenamed("id", "src").hint("shuffle_hash"),
                     "src",
                 )
@@ -151,20 +232,12 @@ def strongly_connected_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_colors.filter(F.col("_chg"))
-                .select("id", "color")
-                .localCheckpoint()
-            )
-            n_changed = changed.count()
-            if fresh_frontier:
-                release_state(frontier)
+            n_changed = new_colors.filter(F.col("_chg")).count()
             release_state(colors_ck)
             colors_ck = new_colors
             colors = new_colors.select("id", "color")
-            frontier, fresh_frontier = changed, True
+            frontier = new_colors.filter(F.col("_chg")).select("id", "color")
             if n_changed == 0:
-                release_state(changed)
                 break
 
         # ---- 3. EXTRACT: backward BFS from every color root, within color
@@ -175,9 +248,11 @@ def strongly_connected_components(
             "root", F.col("root").alias("id")
         ).localCheckpoint()
         frontier = reached
+        extract_iters = 0
         while True:
+            extract_iters += 1
             nxt = (
-                edges.join(
+                by_dst.join(
                     frontier.withColumnRenamed("id", "dst").hint("shuffle_hash"),
                     "dst",
                 )
@@ -201,30 +276,45 @@ def strongly_connected_components(
             frontier = nxt
 
         scc_min = reached.groupBy("root").agg(F.min("id").alias("label"))
-        scc_labels = reached.join(scc_min, "root").select("id", "label")
-        _accumulate(scc_labels)
+        scc_labels = (
+            reached.join(scc_min, "root").select("id", "label").localCheckpoint()
+        )
+        parts.append(scc_labels)
+        hold.append(scc_labels)
         extracted = reached.count()
 
         member_ids = reached.select("id").localCheckpoint()
         release_state(reached)
         release_state(colors_ck)
-        old_alive, old_edges = alive, edges
+        old_alive = alive
         alive = alive.join(member_ids, "id", "left_anti").localCheckpoint()
         n_alive = alive.count()
-        edges = _restrict(edges, alive).localCheckpoint()
+        _swap_edges(alive)
         release_state(old_alive)
-        release_state(old_edges)
         release_state(member_ids)
         metrics.append({"round": rounds, "trimmed": trimmed_total,
-                        "extracted": extracted, "alive": n_alive})
+                        "extracted": extracted, "alive": n_alive,
+                        "trim_iters": trim_iters, "color_iters": color_iters,
+                        "extract_iters": extract_iters})
 
     release_state(alive)
-    release_state(edges)
+    if by_src is not base_src:
+        by_src.unpersist()
+        by_dst.unpersist()
+    base_src.unpersist()
+    base_dst.unpersist()
     spark = g.edges.sparkSession
-    if done is None:
+    if parts:
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        done = acc.localCheckpoint()
+        for h in hold:
+            release_state(h)
+    else:
         done = spark.createDataFrame([], "id long, label long")
-    # `done` is already (id, label) and IS the checkpointed frame — return
-    # it directly so the caller's release_state reaches the checkpoint RDD
+    # `done` IS the checkpointed frame — return it directly so the
+    # caller's release_state reaches the checkpoint RDD
     return SCCResult(done, rounds, metrics)
 
 

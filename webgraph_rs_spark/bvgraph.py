@@ -1,0 +1,353 @@
+"""Sequential BVGraph (.graph bitstream) decoder -> edge DataFrame.
+
+Reads the compressed graph format of the WebGraph framework (Boldi &
+Vigna, "The WebGraph Framework I: Compression Techniques", WWW 2004) so
+the engine can ingest the reference's real test data (cnr-2000) and be
+validated against reference-pinned goldens instead of synthetic fixtures.
+
+Format (reference: ``webgraph/src/graphs/bvgraph/mod.rs:35-137``): the
+``.graph`` file is a big-endian bitstream of per-node successor lists —
+outdegree, then an optional reference part (copy blocks over a previous
+node's list, ``random_access.rs:243-290`` / ``sequential.rs:300-385``),
+then intervals, then zeta-coded residual gaps. The ``.properties`` file
+carries n, m and the compression parameters; the ``.offsets`` file is a
+gamma-coded stream of per-node bit-offset gaps. Default codes
+(``comp/flags.rs:45-49``): outdegrees/blocks/intervals GAMMA, references
+UNARY, residuals ZETA(k); Java-produced files are big-endian.
+
+Spark mapping — this is a custom *source*, the one place per-partition
+imperative logic is warranted: the driver decodes the (tiny) offsets
+stream, splits the node domain into ranges balanced by compressed BITS
+(not node count — hubs compress unevenly), and each task decodes its
+range independently, seeding backward references (bounded by
+``windowsize * maxrefcount`` nodes, cnr-2000: 7*3=21) via random access
+into the bitstream. Tasks emit Arrow batches through ``mapInPandas``.
+At 100 TB the same plan holds: the offsets stream stays a per-file
+driver-side index (gamma gaps decode at ~10^7/s), the ``.graph`` bytes
+are fetched per-task as byte ranges instead of a broadcast, and the
+output lands in the canonical hash-partitioned parquet edge layout —
+decode happens exactly once, every downstream query reads parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .graph import LinkGraph
+
+
+# ------------------------------------------------------------ bit reader
+
+
+class BitReader:
+    """MSB-first bit reader over ``bytes`` (big-endian bitstream, as
+    produced by Java's OutputBitStream / dsi-bitstream's BE impls)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        p = self.pos
+        self.pos = p + k
+        start = p >> 3
+        end = (p + k + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        excess = (end << 3) - (p + k)
+        return (chunk >> excess) & ((1 << k) - 1)
+
+    def read_unary(self) -> int:
+        """Count of 0-bits before the terminating 1-bit."""
+        data = self.data
+        p = self.pos
+        n = 0
+        while True:
+            byte_i = p >> 3
+            bit_off = p & 7
+            cur = data[byte_i] & (0xFF >> bit_off)
+            if cur:
+                hi = 8 - cur.bit_length()  # MSB index of first set bit
+                n += hi - bit_off
+                self.pos = (byte_i << 3) + hi + 1
+                return n
+            n += 8 - bit_off
+            p = (byte_i + 1) << 3
+
+    def read_gamma(self) -> int:
+        h = self.read_unary()
+        return ((1 << h) | self.read_bits(h)) - 1
+
+    def read_zeta(self, k: int) -> int:
+        """Boldi-Vigna zeta_k code (shrinking exponential Golomb)."""
+        h = self.read_unary()
+        left = 1 << (h * k)
+        m = self.read_bits(h * k + k - 1)
+        if m < left:
+            return m + left - 1
+        return (m << 1) + self.read_bits(1) - 1
+
+
+def nat2int(n: int) -> int:
+    """Inverse of the standard nonneg<->int bijection (0,-1,1,-2,2,...)."""
+    return (n >> 1) ^ -(n & 1)
+
+
+# ------------------------------------------------------------ properties
+
+
+@dataclass
+class BvProperties:
+    nodes: int
+    arcs: int
+    window_size: int
+    max_ref_count: int
+    min_interval_length: int
+    zeta_k: int
+
+
+def read_properties(path: str) -> BvProperties:
+    """Parse the Java-style ``.properties`` manifest (key=value lines)."""
+    kv: dict[str, str] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            kv[k.strip()] = v.strip()
+    flags = kv.get("compressionflags", "")
+    if flags:  # pragma: no cover - cnr-2000 uses the defaults
+        raise NotImplementedError(
+            f"non-default compression flags not supported: {flags!r} "
+            "(defaults per comp/flags.rs:45-49: GAMMA/UNARY/GAMMA/GAMMA/ZETA)"
+        )
+    return BvProperties(
+        nodes=int(kv["nodes"]),
+        arcs=int(kv["arcs"]),
+        window_size=int(kv.get("windowsize", 7)),
+        max_ref_count=int(kv.get("maxrefcount", 3)),
+        min_interval_length=int(kv.get("minintervallength", 4)),
+        zeta_k=int(kv.get("zetak", 3)),
+    )
+
+
+def decode_offsets(offsets_bytes: bytes, n: int) -> np.ndarray:
+    """n+1 absolute bit offsets from the gamma-coded gap stream
+    (``mod.rs:120-128``: first gap 0, one trailing end-of-graph offset)."""
+    r = BitReader(offsets_bytes)
+    out = np.empty(n + 1, dtype=np.int64)
+    acc = 0
+    for i in range(n + 1):
+        acc += r.read_gamma()
+        out[i] = acc
+    return out
+
+
+# ------------------------------------------------------------ list decode
+
+
+def decode_successors(
+    data: bytes,
+    offsets: np.ndarray,
+    x: int,
+    props: BvProperties,
+    resolve,
+) -> list[int]:
+    """Decode node ``x``'s successor list; ``resolve(y)`` returns the
+    already-decoded list of an earlier node for the reference part.
+    Mirrors ``sequential.rs:300-385``."""
+    r = BitReader(data, int(offsets[x]))
+    d = r.read_gamma()
+    if d == 0:
+        return []
+    res: list[int] = []
+    if props.window_size:
+        ref = r.read_unary()
+        if ref:
+            parent = resolve(x - ref)
+            nb = r.read_gamma()
+            if nb == 0:
+                res.extend(parent)  # no blocks => copy everything
+            else:
+                # first block verbatim, later blocks are stored minus 1;
+                # even-indexed blocks copy, odd-indexed skip, even count
+                # copies the tail (masked_iter.rs:34-63)
+                blocks = [r.read_gamma()]
+                for _ in range(1, nb):
+                    blocks.append(r.read_gamma() + 1)
+                idx = 0
+                for bi, b in enumerate(blocks):
+                    end = idx + b
+                    if bi % 2 == 0:
+                        res.extend(parent[idx:end])
+                    idx = end
+                if nb % 2 == 0:
+                    res.extend(parent[idx:])
+    left = d - len(res)
+    if left and props.min_interval_length:
+        ic = r.read_gamma()
+        if ic:
+            # first extreme is nat2int-coded relative to x; later extremes
+            # are gaps from previous right extreme + 2; lengths are stored
+            # minus min_interval_length
+            start = x + nat2int(r.read_gamma())
+            ln = r.read_gamma() + props.min_interval_length
+            res.extend(range(start, start + ln))
+            left -= ln
+            start += ln
+            for _ in range(1, ic):
+                start += 1 + r.read_gamma()
+                ln = r.read_gamma() + props.min_interval_length
+                res.extend(range(start, start + ln))
+                left -= ln
+                start += ln
+    if left:
+        k = props.zeta_k
+        prev = x + nat2int(r.read_zeta(k))
+        res.append(prev)
+        for _ in range(1, left):
+            prev += 1 + r.read_zeta(k)
+            res.append(prev)
+    res.sort()
+    return res
+
+
+def decode_range(
+    data: bytes, offsets: np.ndarray, lo: int, hi: int, props: BvProperties
+):
+    """Yield (node, successors) for nodes in [lo, hi).
+
+    Backward references resolve recursively (depth <= maxrefcount, the
+    compressor's chain bound) with a cache evicted behind the sliding
+    window, so memory stays O(window + window*maxrefcount) lists."""
+    cache: dict[int, list[int]] = {}
+
+    def resolve(y: int) -> list[int]:
+        got = cache.get(y)
+        if got is None:
+            got = decode_successors(data, offsets, y, props, resolve)
+            cache[y] = got
+        return got
+
+    w = props.window_size
+    for x in range(lo, hi):
+        yield x, resolve(x)
+        cache.pop(x - w, None)
+
+
+def _balanced_ranges(offsets: np.ndarray, n: int, parts: int) -> list[tuple[int, int]]:
+    """Split 0..n into ranges with ~equal compressed BIT size (hubs make
+    per-node cost wildly uneven; equal node counts would skew tasks)."""
+    total_bits = int(offsets[n])
+    cuts = np.searchsorted(
+        offsets[: n + 1], np.linspace(0, total_bits, parts + 1)
+    ).astype(np.int64)
+    cuts[0], cuts[-1] = 0, n
+    out = []
+    for i in range(parts):
+        lo, hi = int(cuts[i]), int(cuts[i + 1])
+        if hi > lo:
+            out.append((lo, hi))
+    return out
+
+
+# ------------------------------------------------------------ spark source
+
+
+def read_bvgraph(
+    spark: SparkSession,
+    basename: str,
+    num_partitions: int | None = None,
+    canonical: bool = True,
+) -> LinkGraph:
+    """Load a BVGraph basename as a :class:`LinkGraph`.
+
+    Driver side: parse ``.properties``, decode the ``.offsets`` gap
+    stream, split the node domain into bit-balanced ranges. Executor
+    side: each range decodes independently (``mapInPandas``, Arrow
+    batches out), seeding cross-boundary references via random access.
+    The ~MB-scale bitstream + offsets ship as a broadcast here; at real
+    scale the tasks would range-read the file instead — the plan shape
+    (driver index, bit-balanced ranges, map-only decode, one shuffle
+    into the canonical src-partitioned layout) is unchanged.
+    """
+    import pandas as pd
+
+    props = read_properties(basename + ".properties")
+    n = props.nodes
+    with open(basename + ".graph", "rb") as f:
+        data = f.read()
+    with open(basename + ".offsets", "rb") as f:
+        offsets = decode_offsets(f.read(), n)
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranges = _balanced_ranges(offsets, n, parts)
+    b_data = spark.sparkContext.broadcast(data)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    ranges_df = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges], "lo long, hi long"
+    ).repartition(len(ranges))
+
+    def decode_batches(pdf_iter):
+        data_l = b_data.value
+        offs_l = b_offsets.value
+        for pdf in pdf_iter:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                src_acc: list[np.ndarray] = []
+                dst_acc: list[np.ndarray] = []
+                acc = 0
+                for x, succs in decode_range(
+                    data_l, offs_l, int(lo), int(hi), props
+                ):
+                    if not succs:
+                        continue
+                    dst = np.asarray(succs, dtype=np.int64)
+                    src_acc.append(np.full(len(dst), x, dtype=np.int64))
+                    dst_acc.append(dst)
+                    acc += len(dst)
+                    if acc >= 1_000_000:
+                        yield pd.DataFrame(
+                            {"src": np.concatenate(src_acc),
+                             "dst": np.concatenate(dst_acc)}
+                        )
+                        src_acc, dst_acc, acc = [], [], 0
+                if acc:
+                    yield pd.DataFrame(
+                        {"src": np.concatenate(src_acc),
+                         "dst": np.concatenate(dst_acc)}
+                    )
+
+    edges = ranges_df.mapInPandas(decode_batches, "src long, dst long")
+    if canonical:
+        # decoded lists are already per-node sorted+deduped; one shuffle
+        # into the hash(src) layout every downstream iteration reuses
+        edges = edges.repartition(parts, "src").sortWithinPartitions("src", "dst")
+    vertices = spark.range(n).select("id")
+    return LinkGraph(edges, vertices, _num_nodes=n, _num_arcs=props.arcs)
+
+
+# ------------------------------------------------------------ goldens
+
+
+def read_golden_labels(path: str) -> np.ndarray:
+    """Read a Java big-endian int32-per-node label file (e.g. the
+    reference's ``cnr-2000.scc``)."""
+    return np.fromfile(path, dtype=">i4").astype(np.int64)
+
+
+def golden_labels_df(spark: SparkSession, path: str, col: str = "golden") -> DataFrame:
+    import pandas as pd
+
+    arr = read_golden_labels(path)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(len(arr), dtype=np.int64), col: arr})
+    )
