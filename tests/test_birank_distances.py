@@ -165,3 +165,105 @@ def test_exact_sum_sweep_vs_all_pairs(spark):
         assert (rd.radius, rd.diameter) == (r_exact, d_exact)
         # the whole point: certification without n sweeps
         assert rd.pivots_used < n
+
+
+def test_exact_sum_sweep_backward_eccentricities(spark):
+    """mode="all" (the reference's All level, exact_sum_sweep/mod.rs:261-264)
+    certifies BACKWARD eccentricities too — checked against forward ecc on
+    the transposed graph."""
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    nn, edges = erdos_renyi(70, 0.06, 9)
+    g = graph_from_pandas(spark, edges, nn)
+    gt = graph_from_pandas(spark, [(d, s) for s, d in edges], nn)
+    exact_t = all_pairs_distances(gt)
+    becc_exact = {
+        r["id"]: r["ecc"]
+        for r in eccentricities(exact_t.distances, gt.vertices).collect()
+    }
+    res = exact_sum_sweep(g, mode="all")
+    assert res.converged
+    got = {r["id"]: r["ecc"] for r in res.backward_eccentricities.collect()}
+    assert got == becc_exact
+
+
+def test_exact_sum_sweep_regular_graph_stays_exact(spark):
+    """Eccentricity-regular graphs are SumSweep's known worst case: all
+    ecc equal means no extremal structure for the bounds to exploit, and
+    triangle-family bounds cannot certify below d(v, pivot) + ecc(pivot)
+    (measured: same-SCC scc_graph.rs-style tightening rules changed the
+    pivot count by exactly zero — see the exact_sum_sweep docstring).
+    The contract on this family is graceful degradation: batched
+    all-sources BFS, still EXACT, still converged=True."""
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    # circulant: i -> i+1, i+2 (mod n); vertex-transitive => regular
+    n = 60
+    pairs = [(i, (i + d) % n) for i in range(n) for d in (1, 2)]
+    g = graph_from_pandas(spark, pairs, n)
+    exact = all_pairs_distances(g)
+    ecc_exact = {
+        r["id"]: r["ecc"]
+        for r in eccentricities(exact.distances, g.vertices).collect()
+    }
+    assert len(set(ecc_exact.values())) == 1  # regular by construction
+    res = exact_sum_sweep(g, mode="all")
+    assert res.converged
+    got = {r["id"]: r["ecc"] for r in res.eccentricities.collect()}
+    assert got == ecc_exact
+    assert (res.radius, res.diameter) == (n // 2, n // 2)
+
+
+def test_exact_sum_sweep_nonconverged_reports_none_not_sentinel(spark):
+    """With the pivot budget exhausted before certification, uncertified
+    radius/diameter must be None with honest [lo, hi] intervals — never
+    the 2^62 sentinel (ADVICE r2)."""
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    n = 40
+    pairs = [(i, (i + d) % n) for i in range(n) for d in (1, 2)]
+    g = graph_from_pandas(spark, pairs, n)
+    res = exact_sum_sweep(g, mode="radius_diameter", batch=4, max_pivots=4)
+    assert not res.converged
+    true_ecc = n // 2
+    for val, (lo, hi) in (
+        (res.radius, res.radius_interval),
+        (res.diameter, res.diameter_interval),
+    ):
+        if val is None:
+            assert lo <= true_ecc and lo < (1 << 62)
+            assert hi is None or (lo <= true_ecc <= hi and hi < (1 << 62))
+        else:
+            assert val == true_ecc  # certified values must be exact
+
+
+def test_hyperball_node_weights(spark):
+    """Weighted HyperBall (hyperball.rs:542-576,866-884): seeding node v
+    with weight(v) distinct elements makes reachable_est estimate the
+    total WEIGHT of the ball; weight-0 nodes contribute nothing."""
+    from webgraph_rs_spark.algorithms.distances import hyperball
+
+    nn, edges = erdos_renyi(150, 0.025, 12)
+    g = graph_from_pandas(spark, edges, nn)
+    # deterministic weights: node i has weight i % 5 (includes zeros)
+    wrows = [(i, i % 5) for i in range(nn)]
+    wdf = spark.createDataFrame(wrows, "id long, weight long")
+    wmap = dict(wrows)
+    exact = all_pairs_distances(g)
+    wreach = {i: wmap[i] for i in range(nn)}
+    for r in exact.distances.collect():
+        if r["id"] != r["root"]:
+            wreach[r["root"]] += wmap[r["id"]]
+    hb = hyperball(g, max_iter=30, rel_tol=1e-5, weights=wdf)
+    est = {r["id"]: r["reachable_est"] for r in hb.centralities.collect()}
+    rel = [
+        abs(est[v] - wreach[v]) / wreach[v]
+        for v in wreach
+        if wreach[v] > 0
+    ]
+    assert np.mean(rel) < 0.12
+    # weight-0 node with no outgoing reach ... every node has weight-0
+    # peers in its ball; global sanity: totals track
+    tot_est = sum(est.values())
+    tot_true = sum(wreach.values())
+    assert abs(tot_est - tot_true) / tot_true < 0.1

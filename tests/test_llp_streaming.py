@@ -47,6 +47,35 @@ def test_llp_improves_gap_cost(spark):
     assert rg.edges.count() == gs.num_arcs
 
 
+def test_llp_min_gain_early_stop(spark):
+    """MinGain predicate (llp/preds.rs:40-47): a converged gamma pass must
+    stop before exhausting its iteration budget; the permutation stays a
+    bijection and costs are still recorded."""
+    from webgraph_rs_spark.algorithms.labelprop import label_propagation
+
+    k, nc = 8, 10  # 10 cliques of 8 — LP converges in 2-3 rounds
+    edges = []
+    for c in range(nc):
+        base = c * k
+        edges += [(base + i, base + j) for i in range(k) for j in range(k) if i != j]
+        edges.append((base, ((c + 1) % nc) * k))
+    n = nc * k
+    g = graph_from_pandas(spark, edges, n)
+    budget = 25
+    res = llp(g, gammas=(0.0, 0.5), iters_per_gamma=budget, min_gain=0.001)
+    assert res.gamma_iters, "per-gamma iteration counts must be reported"
+    assert all(0 < it <= budget for it in res.gamma_iters.values())
+    assert any(it < budget for it in res.gamma_iters.values()), (
+        f"expected early stop on a converged gamma, got {res.gamma_iters}"
+    )
+    rows = res.permutation.collect()
+    assert sorted(r["new_id"] for r in rows) == list(range(n))
+    # gain metric is visible in the LP metrics history too
+    lp = label_propagation(g, max_iter=budget, gamma=0.0, min_gain=0.001)
+    assert lp.iterations < budget
+    assert all("gain" in m for m in lp.metrics_history)
+
+
 def test_streaming_ingestion(spark, tmp_path):
     from webgraph_rs_spark.pages import synthesize_pages_from_pairs
     from webgraph_rs_spark.streaming import (

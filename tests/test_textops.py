@@ -301,6 +301,62 @@ def test_ivf_ann_recall_and_assignment(spark):
     assert rec2 == 1.0  # probing ALL cells = exact
 
 
+def test_ivf_kmeans_refinement_beats_seed_centroids(spark):
+    """Lloyd refinement on a planted-cluster fixture: refined centroids
+    must reduce quantization error vs the seed (smallest-id) centroids,
+    and IVF recall at a small probe budget must not regress."""
+    import numpy as np
+    from webgraph_rs_spark.textops import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(21)
+    dim, n_clusters, per = 8, 6, 40
+    rows = []
+    for c in range(n_clusters):
+        center = rng.normal(size=dim) * 3
+        for i in range(per):
+            v = center + rng.normal(size=dim) * 0.3
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = {vid: np.array(v) for vid, v in rows}
+
+    def qerr(cts_df):
+        cts = {r["cell"]: np.array(r["centroid"]) for r in cts_df.collect()}
+        assign = {
+            r["vec_id"]: r["cell"] for r in ivf_assign(emb, cts_df.select(
+                "cell", "centroid"), n_clusters).collect()
+        }
+        tot = 0.0
+        for vid, v in vecs.items():
+            cvec = cts[assign[vid]]
+            tot += 1 - (v @ cvec) / (np.linalg.norm(v) * np.linalg.norm(cvec))
+        return tot / len(vecs)
+
+    seed = ivf_centroids(emb, n_cells=n_clusters).select("cell", "centroid")
+    refined = ivf_kmeans_centroids(emb, n_cells=n_clusters, iters=4)
+    e_seed, e_ref = qerr(seed), qerr(refined)
+    assert e_ref < e_seed, f"kmeans must reduce quantization error ({e_ref} vs {e_seed})"
+
+    # recall@5 with 2 probes against exact top-k
+    qids = [0, per, 2 * per]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            emb, qids, k=5, n_cells=n_clusters, n_probe=2, centroids=refined
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
 def test_embedding_near_dups_exact_within_buckets(spark):
     """Every reported pair must be a true >= threshold pair (precision 1.0);
     recall is bounded by bucket collisions — planted duplicate vectors

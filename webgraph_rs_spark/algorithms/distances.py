@@ -181,6 +181,7 @@ def hyperball(
     lg_k: int = HLL_LG_K,
     systolic_threshold: float = 0.25,
     discounts: dict | None = None,
+    weights: DataFrame | None = None,
 ) -> HyperBallResult:
     """HyperBall: per-node HLL counters grown along out-edges — fully
     JVM-side via Spark's datasketches functions (``hll_sketch_agg`` /
@@ -214,6 +215,14 @@ def hyperball(
     hyperball.rs:1324): each adds an accumulator column ``<name>_est``
     growing by discount(t) * increment — the discount value is a per-
     iteration CONSTANT, so these stay pure column arithmetic.
+
+    ``weights`` — optional (id, weight) with nonnegative integer node
+    weights (``hyperball.rs:542-576,866-884``): node v's counter is
+    seeded with weight(v) distinct elements (``explode_outer(sequence)``
+    into ``hll_sketch_agg``; weight 0 seeds an empty sketch), so every
+    ball estimate and derived centrality becomes its weighted analogue —
+    ``reachable_est`` estimates the total WEIGHT of the ball. Missing
+    ids default to weight 1.
     """
     n = g.num_nodes
     # self-loop augmented edges: the group at src always includes its own
@@ -228,11 +237,39 @@ def hyperball(
     )
     edges.count()
 
-    state = (
-        g.vertices.groupBy("id")
-        .agg(F.hll_sketch_agg(F.col("id"), F.lit(lg_k)).alias("sketch"))
-        .localCheckpoint()
-    )
+    if weights is None:
+        state = (
+            g.vertices.groupBy("id")
+            .agg(F.hll_sketch_agg(F.col("id"), F.lit(lg_k)).alias("sketch"))
+            .localCheckpoint()
+        )
+    else:
+        # weight-many distinct seed elements per node, hashed so element
+        # sets never collide across nodes; weight 0 -> explode_outer keeps
+        # a null row and hll_sketch_agg ignores it (empty sketch)
+        seeded = g.vertices.join(
+            weights.select("id", F.col("weight").cast("long").alias("_w")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("_w", F.lit(1)).alias("_w"))
+        elems = seeded.select(
+            "id",
+            F.explode_outer(
+                F.when(
+                    F.col("_w") > 0, F.sequence(F.lit(1), F.col("_w"))
+                ).otherwise(F.array())
+            ).alias("_j"),
+        ).select(
+            "id",
+            F.when(
+                F.col("_j").isNotNull(), F.xxhash64("id", "_j")
+            ).alias("_elem"),
+        )
+        state = (
+            elems.groupBy("id")
+            .agg(F.hll_sketch_agg(F.col("_elem"), F.lit(lg_k)).alias("sketch"))
+            .localCheckpoint()
+        )
     discounts = discounts or {}
     # acc.reachable_est doubles as the per-node ball estimate of the
     # previous round — no separate ball table
@@ -380,13 +417,16 @@ _ECC_INF = 1 << 62
 
 @dataclass
 class SumSweepResult:
-    radius: int
-    diameter: int
+    radius: int | None  # None when not certified (ADVICE: no sentinel output)
+    diameter: int | None
     radial_node: int
     diametral_node: int
-    eccentricities: DataFrame | None  # (id, ecc) — mode="all" only
+    eccentricities: DataFrame | None  # (id, ecc) — "all"/"all_forward" modes
     pivots_used: int
     converged: bool
+    backward_eccentricities: DataFrame | None = None  # (id, ecc) — "all" mode
+    radius_interval: tuple | None = None  # certified [lo, hi] (hi None = open)
+    diameter_interval: tuple | None = None
 
 
 def exact_sum_sweep(
@@ -394,6 +434,7 @@ def exact_sum_sweep(
     mode: str = "radius_diameter",
     batch: int = 32,
     max_pivots: int = 4096,
+    use_scc: bool = True,
 ) -> SumSweepResult:
     """Exact forward eccentricities / radius / diameter over ALL nodes by
     pivot-bounded sweeps — the reference's ExactSumSweep
@@ -428,16 +469,37 @@ def exact_sum_sweep(
 
     Certification from bounds alone: diameter = max(fl) once
     max(fu) <= max(fl); radius = min(fu) once min(fl) >= min(fu);
-    mode="all" runs until fl = fu everywhere. Pivot heuristics (Borassi
-    et al. 2015): half the batch are open-diameter candidates (max fu),
-    half open-radius candidates (min fl); in "all" mode, widest intervals.
-    Eccentricity semantics match :func:`eccentricities` (max over
-    reachable nodes). Efficient on web-like graphs (one giant SCC);
-    fragmented graphs degrade gracefully to batched all-sources BFS.
+    mode="all_forward" runs until fl = fu everywhere; mode="all" ALSO
+    computes exact BACKWARD eccentricities (bl/bu bounds, the reference's
+    All vs AllForward output levels, ``exact_sum_sweep/mod.rs:261-264``)
+    from the same pivot sweeps — d(w, .) lower-bounds becc, same-SCC
+    triangle bounds upper-bound it. Pivot heuristics (Borassi et al.
+    2015): half the batch are open-diameter candidates (max fu), half
+    open-radius candidates (min fl); in the all-* modes, widest
+    intervals. Eccentricity semantics match :func:`eccentricities` (max
+    over reachable nodes).
+
+    Uncertified values are reported as None with the certified [lo, hi]
+    interval alongside — never a sentinel.
+
+    Negative result, measured and recorded (r3): same-SCC tightening
+    rules in the style of the reference's ``exact_sum_sweep/
+    scc_graph.rs`` DAG pass (``fu(v) <= 1 + min over same-SCC successors
+    fu(w)``, ``fl(w) >= fl(v) - 1`` pred->succ, and backward mirrors)
+    were implemented and benchmarked on four fixture families (dense ER,
+    fragmented ER, chained cycles, circulant): pivot counts were
+    IDENTICAL with and without them, in both radius_diameter and all
+    modes — triangle-family bounds cannot certify an upper bound below
+    d(v, pivot) + ecc(pivot), and the batch selector already makes the
+    extremal nodes exact directly. The rules were removed rather than
+    shipped as dead weight (``use_scc`` is accepted and ignored for API
+    stability). Eccentricity-regular graphs (all ecc equal — no
+    extremal structure to exploit, the known SumSweep worst case)
+    degrade gracefully to batched all-sources BFS and remain exact.
     """
     from webgraph_rs_spark.algorithms.bfs import bfs_distances  # noqa: F401
 
-    if mode not in ("radius_diameter", "all"):
+    if mode not in ("radius_diameter", "all", "all_forward"):
         raise ValueError(mode)
     spark = g.edges.sparkSession
     # self-loops never affect eccentricities (d(v,v) = 0) but would break
@@ -454,12 +516,18 @@ def exact_sum_sweep(
     g_fwd = LinkGraph(fwd, g.vertices)
     g_bwd = LinkGraph(bwd, g.vertices)
 
+    want_back = mode == "all"
+    want_all = mode in ("all", "all_forward")
+
     has_out = fwd.select(F.col("src").alias("id")).distinct()
-    # out-degree-0: ecc exactly 0; otherwise ecc >= 1 (a loopless successor
-    # exists), so fl starts at 1 — certifies radius immediately on graphs
-    # whose radial nodes sit one hop from a terminal
+    has_in = fwd.select(F.col("dst").alias("id")).distinct()
+    # out-degree-0: forward ecc exactly 0; otherwise ecc >= 1 (a loopless
+    # successor exists), so fl starts at 1 — certifies radius immediately
+    # on graphs whose radial nodes sit one hop from a terminal. Backward
+    # bounds mirror with in-degree.
     bounds = (
         g.vertices.join(has_out.withColumn("_o", F.lit(True)), "id", "left")
+        .join(has_in.withColumn("_i", F.lit(True)), "id", "left")
         .select(
             "id",
             F.when(F.col("_o").isNotNull(), F.lit(1))
@@ -470,13 +538,20 @@ def exact_sum_sweep(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("fu"),
+            F.when(F.col("_i").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bl"),
+            F.when(F.col("_i").isNotNull(), F.lit(_ECC_INF))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bu"),
         )
         .localCheckpoint()
     )
 
     pivots = 0
     converged = False
-    want_all = mode == "all"
     half = max(1, batch // 2)
     while pivots < max_pivots:
         row = bounds.agg(
@@ -487,16 +562,21 @@ def exact_sum_sweep(
         ).collect()[0]
         diam_done = row["max_fu"] <= row["max_fl"]
         rad_done = row["min_fl"] >= row["min_fu"]
-        open_nodes = bounds.filter(F.col("fl") < F.col("fu"))
+        gap = F.col("fu") - F.col("fl")
+        if want_back:
+            gap = F.greatest(gap, F.col("bu") - F.col("bl"))
+            open_nodes = bounds.filter(
+                (F.col("fl") < F.col("fu")) | (F.col("bl") < F.col("bu"))
+            )
+        else:
+            open_nodes = bounds.filter(F.col("fl") < F.col("fu"))
         if want_all:
             if open_nodes.limit(1).count() == 0:
                 converged = True
                 break
             sel = [
                 int(r["id"])
-                for r in open_nodes.orderBy(
-                    (F.col("fu") - F.col("fl")).desc(), F.col("id")
-                )
+                for r in open_nodes.orderBy(gap.desc(), F.col("id"))
                 .limit(batch)
                 .collect()
             ]
@@ -552,34 +632,74 @@ def exact_sum_sweep(
         exact_piv = ecc_w.select(
             F.col("root").alias("id"), F.col("eccw").alias("fx")
         )
-        old_bounds = bounds
-        bounds = (
+        upd = (
             bounds.join(fl_cand, "id", "left")
             .join(fl2_cand, "id", "left")
             .join(fu_cand, "id", "left")
             .join(exact_piv, "id", "left")
-            .select(
-                "id",
-                F.coalesce(
-                    "fx",
-                    F.greatest(
-                        "fl",
-                        F.coalesce("flc", F.lit(0)),
-                        F.coalesce("flc2", F.lit(0)),
-                    ),
-                ).alias("fl"),
-                F.coalesce(
-                    "fx", F.least("fu", F.coalesce("fuc", F.lit(_ECC_INF)))
-                ).alias("fu"),
-            )
-            .localCheckpoint()
         )
+        fcols = [
+            F.coalesce(
+                "fx",
+                F.greatest(
+                    "fl",
+                    F.coalesce("flc", F.lit(0)),
+                    F.coalesce("flc2", F.lit(0)),
+                ),
+            ).alias("fl"),
+            F.coalesce(
+                "fx", F.least("fu", F.coalesce("fuc", F.lit(_ECC_INF)))
+            ).alias("fu"),
+        ]
+        if want_back:
+            # mirrors: d(w, v) lower-bounds becc(v); pivot's exact becc
+            # is max d_bwd; triangle bounds under the same same-SCC guard
+            becc_w = d_bwd.groupBy("root").agg(F.max("distance").alias("beccw"))
+            bl_cand = d_fwd.groupBy("id").agg(F.max("distance").alias("blc"))
+            bl2_cand = (
+                d_bwd.join(scc_pairs, ["root", "id"], "left_semi")
+                .join(becc_w, "root")
+                .groupBy("id")
+                .agg(F.max(F.col("beccw") - F.col("distance")).alias("blc2"))
+            )
+            bu_cand = (
+                d_fwd.join(scc_pairs, ["root", "id"], "left_semi")
+                .join(becc_w, "root")
+                .groupBy("id")
+                .agg(F.min(F.col("distance") + F.col("beccw")).alias("buc"))
+            )
+            exact_bpiv = becc_w.select(
+                F.col("root").alias("id"), F.col("beccw").alias("bx")
+            )
+            upd = (
+                upd.join(bl_cand, "id", "left")
+                .join(bl2_cand, "id", "left")
+                .join(bu_cand, "id", "left")
+                .join(exact_bpiv, "id", "left")
+            )
+            bcols = [
+                F.coalesce(
+                    "bx",
+                    F.greatest(
+                        "bl",
+                        F.coalesce("blc", F.lit(0)),
+                        F.coalesce("blc2", F.lit(0)),
+                    ),
+                ).alias("bl"),
+                F.coalesce(
+                    "bx", F.least("bu", F.coalesce("buc", F.lit(_ECC_INF)))
+                ).alias("bu"),
+            ]
+        else:
+            bcols = [F.col("bl"), F.col("bu")]
+        old_bounds = bounds
+        bounds = upd.select("id", *fcols, *bcols).localCheckpoint()
         release_state(old_bounds)
         release_state(d_fwd)
         release_state(d_bwd)
 
-        # backward fu propagation (tail/tendril closer; see docstring)
-        for _p in range(8):
+        # bound propagation along edges (tail/tendril closer; see docstring)
+        for _p in range(16):
             succ_fu = (
                 fwd.join(
                     bounds.select(
@@ -590,41 +710,92 @@ def exact_sum_sweep(
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.max("sfu").alias("mfu"))
             )
-            joined = (
-                bounds.join(succ_fu, "id", "left")
-                .select(
-                    "id",
-                    "fl",
-                    "fu",
-                    F.least(
-                        "fu", F.coalesce(F.col("mfu") + 1, F.col("fu"))
-                    ).alias("nfu"),
+            joined = bounds.join(succ_fu, "id", "left")
+            nfu = F.least("fu", F.coalesce(F.col("mfu") + 1, F.col("fu")))
+            nfl = F.col("fl")
+            nbu, nbl = F.col("bu"), F.col("bl")
+            if want_back:
+                pred_bu = (
+                    fwd.join(
+                        bounds.select(
+                            F.col("id").alias("src"), F.col("bu").alias("pbu")
+                        ),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.max("pbu").alias("mbu"))
                 )
-                .localCheckpoint()
-            )
-            n_tightened = joined.filter(F.col("nfu") < F.col("fu")).count()
-            old_bounds = bounds
-            bounds = joined.select(
-                "id", F.greatest("fl", F.lit(0)).alias("fl"),
-                F.col("nfu").alias("fu")
+                joined = joined.join(pred_bu, "id", "left")
+                nbu = F.least("bu", F.coalesce(F.col("mbu") + 1, F.col("bu")))
+            new_bounds = joined.select(
+                "id",
+                nfl.alias("fl"),
+                nfu.alias("fu"),
+                nbl.alias("bl"),
+                nbu.alias("bu"),
             ).localCheckpoint()
+            n_tightened = (
+                new_bounds.join(
+                    bounds.select(
+                        "id",
+                        F.col("fl").alias("ofl"),
+                        F.col("fu").alias("ofu"),
+                        F.col("bl").alias("obl"),
+                        F.col("bu").alias("obu"),
+                    ),
+                    "id",
+                )
+                .filter(
+                    (F.col("fu") < F.col("ofu"))
+                    | (F.col("fl") > F.col("ofl"))
+                    | (F.col("bu") < F.col("obu"))
+                    | (F.col("bl") > F.col("obl"))
+                )
+                .count()
+            )
+            old_bounds = bounds
+            bounds = new_bounds
             release_state(old_bounds)
-            release_state(joined)
             if n_tightened == 0:
                 break
 
-    row = bounds.agg(F.max("fl").alias("d"), F.min("fu").alias("r")).collect()[0]
-    diameter = int(row["d"])
-    radius = int(min(row["r"], _ECC_INF))
-    dn = bounds.filter(F.col("fl") == diameter).agg(F.min("id")).collect()[0][0]
-    rn = bounds.filter(F.col("fu") == radius).agg(F.min("id")).collect()[0][0]
-    ecc_df = None
+    row = bounds.agg(
+        F.max("fl").alias("d"),
+        F.max("fu").alias("du"),
+        F.min("fl").alias("rl"),
+        F.min("fu").alias("r"),
+    ).collect()[0]
+    diam_cert = converged or row["du"] <= row["d"]
+    rad_cert = converged or row["rl"] >= row["r"]
+    diameter = int(row["d"]) if diam_cert else None
+    radius = int(min(row["r"], _ECC_INF)) if rad_cert else None
+    diameter_interval = (
+        int(row["d"]),
+        int(row["du"]) if row["du"] < _ECC_INF else None,
+    )
+    radius_interval = (
+        int(row["rl"]),
+        int(row["r"]) if row["r"] < _ECC_INF else None,
+    )
+    dn = rn = None
+    if diam_cert:
+        dn = bounds.filter(F.col("fl") == diameter).agg(F.min("id")).collect()[0][0]
+    if rad_cert:
+        rn = bounds.filter(F.col("fu") == radius).agg(F.min("id")).collect()[0][0]
+    ecc_df = becc_df = None
     if want_all:
         ecc_df = bounds.select("id", F.col("fl").alias("ecc")).localCheckpoint()
+    if want_back:
+        becc_df = bounds.select(
+            "id", F.col("bl").alias("ecc")
+        ).localCheckpoint()
     release_state(bounds)
     fwd.unpersist()
     bwd.unpersist()
     return SumSweepResult(
         radius, diameter, int(rn if rn is not None else -1),
-        int(dn if dn is not None else -1), ecc_df, pivots, converged
+        int(dn if dn is not None else -1), ecc_df, pivots, converged,
+        backward_eccentricities=becc_df,
+        radius_interval=radius_interval,
+        diameter_interval=diameter_interval,
     )

@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from webgraph_rs_spark.driver import MaxIter, MetricZero, iterate, release_state
+from webgraph_rs_spark.driver import (
+    MaxIter,
+    MetricBelow,
+    MetricZero,
+    iterate,
+    release_state,
+)
 from webgraph_rs_spark.graph import LinkGraph
 from webgraph_rs_spark.algorithms.components import _sym_edges
 
@@ -58,6 +64,8 @@ def label_propagation(
     job: str = "labelprop",
     checkpoint_every: int = 1,
     resume: bool = True,
+    min_gain: float | None = None,
+    min_modified: int | None = None,
 ) -> LPResult:
     """Run synchronous label propagation until stable or ``max_iter``.
 
@@ -66,6 +74,15 @@ def label_propagation(
     with deterministic tie-break (higher score, then smaller label); nodes
     with no neighbors keep their label. ``modified`` metric drives the
     fixpoint predicate.
+
+    Gain predicates (reference ``llp/preds.rs:40-47``): ``min_gain``
+    stops the pass once the round's objective gain — the summed score
+    improvement of the nodes that switched labels — drops to or below
+    the threshold (reference MinGain, Java default 0.001); computing it
+    adds one vertex-sized join + aggregate per round, paid only when
+    enabled. ``min_modified`` stops once fewer than that many nodes
+    changed (MinModified). Both compose with the fixpoint/MaxIter
+    predicates through the driver's predicate algebra.
     """
     spark = g.edges.sparkSession
     edges = _sym_edges(g) if symmetrize else g.edges
@@ -113,6 +130,7 @@ def label_propagation(
             F.col("dst").alias("id"), "label"
         )
         counts = gathered.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        volumes = None
         if gamma != 0.0:
             volumes = state.groupBy("label").agg(F.count(F.lit(1)).alias("vol"))
             counts = counts.join(volumes, "label", "left").withColumn(
@@ -125,10 +143,14 @@ def label_propagation(
         best = (
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
+            .select(
+                "id",
+                F.col("label").alias("new_label"),
+                F.col("score").alias("_nsc"),
+            )
         )
         new = (
-            state.join(best, "id", "left")
+            state.join(best.select("id", "new_label"), "id", "left")
             .select(
                 "id",
                 F.coalesce("new_label", F.col("label")).alias("label"),
@@ -144,12 +166,49 @@ def label_propagation(
         modified = changed.count()
         frontier["df"] = changed if modified > 0 else None
         frontier["n"] = modified
-        return new.select("id", "label"), {
-            "modified": modified,
-            "frontier_rows": modified,
-        }
+        metrics = {"modified": modified, "frontier_rows": modified}
+        if min_gain is not None:
+            # objective gain of this round: sum over switched nodes of
+            # (new best score - old label's score under the same counts).
+            # An old label absent from `counts` scored 0 at gamma=0, else
+            # -gamma * volume(old_label).
+            osc = state.select("id", F.col("label").alias("_ol")).join(
+                counts.select(
+                    "id",
+                    F.col("label").alias("_ol"),
+                    F.col("score").alias("_osc"),
+                ),
+                ["id", "_ol"],
+                "left",
+            )
+            if volumes is not None:
+                osc = osc.join(
+                    volumes.select(F.col("label").alias("_ol"), "vol"),
+                    "_ol",
+                    "left",
+                ).withColumn(
+                    "_osc",
+                    F.coalesce(
+                        "_osc",
+                        (-gamma * F.coalesce("vol", F.lit(0))).cast("double"),
+                    ),
+                )
+            else:
+                osc = osc.withColumn("_osc", F.coalesce("_osc", F.lit(0.0)))
+            grow = (
+                best.join(osc.select("id", "_ol", "_osc"), "id")
+                .filter(F.col("new_label") != F.col("_ol"))
+                .agg(F.sum(F.col("_nsc") - F.col("_osc")).alias("g"))
+                .collect()[0]
+            )
+            metrics["gain"] = float(grow["g"] or 0.0)
+        return new.select("id", "label"), metrics
 
     stop = MetricZero("modified") | MaxIter(max_iter)
+    if min_gain is not None:
+        stop = stop | MetricBelow("gain", min_gain)
+    if min_modified is not None:
+        stop = stop | MetricBelow("modified", float(min_modified))
     res = iterate(
         spark,
         state0,

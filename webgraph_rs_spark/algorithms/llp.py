@@ -84,6 +84,7 @@ class LLPResult:
     labels: DataFrame  # final combined labeling (id, label)
     gamma_costs: dict[float, float] = field(default_factory=dict)
     final_cost: float = 0.0
+    gamma_iters: dict[float, int] = field(default_factory=dict)
 
 
 def llp(
@@ -92,6 +93,7 @@ def llp(
     iters_per_gamma: int = 10,
     checkpoint_dir: str | None = None,
     max_combine_passes: int = 4,
+    min_gain: float | None = 0.001,
 ) -> LLPResult:
     """Run LP per gamma, score each labeling by gap cost, then combine
     best-cost-first with repeated recombination: passes over the candidate
@@ -99,20 +101,29 @@ def llp(
     pass improves nothing or ``max_combine_passes`` is hit (reference
     ``combine`` loop, mod.rs:601-671).
 
+    Each gamma pass stops EARLY on the reference's MinGain predicate
+    (``llp/preds.rs:40-47``, Java default threshold 0.001) — a converged
+    gamma no longer burns its full ``iters_per_gamma`` budget; per-gamma
+    iteration counts are reported in ``gamma_iters``.
+
     Cache discipline: per-gamma labelings and losing combinations are
     unpersisted before returning; the returned permutation and winning
     labeling stay materialized (caller owns those handles).
     """
     owned: list[DataFrame] = []
     per_gamma: list[tuple[float, DataFrame, float]] = []
+    gamma_iters: dict[float, int] = {}
     for gamma in gammas:
-        lab = label_propagation(
+        lp = label_propagation(
             g,
             max_iter=iters_per_gamma,
             gamma=gamma,
             checkpoint_dir=checkpoint_dir,
             job=f"llp_g{gamma}",
-        ).labels.persist()
+            min_gain=min_gain,
+        )
+        lab = lp.labels.persist()
+        gamma_iters[gamma] = lp.iterations
         owned.append(lab)
         cost = gap_cost(g, labels_to_ranks(lab))
         per_gamma.append((gamma, lab, cost))
@@ -141,4 +152,4 @@ def llp(
             # localCheckpoint products — unpersist alone strands their
             # checkpoint RDD blocks
             release_state(df)
-    return LLPResult(perm, best_lab, gamma_costs, best_cost)
+    return LLPResult(perm, best_lab, gamma_costs, best_cost, gamma_iters)

@@ -46,6 +46,10 @@ from webgraph_rs_spark.driver import release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 
+COLOR_UNROLL = 4  # lazy propagation steps fused per checkpoint/job
+EXTRACT_UNROLL = 2  # lazy backward-BFS levels fused per checkpoint/job
+
+
 @dataclass
 class SCCResult:
     labels: DataFrame  # (id long, label long) — label = min id in the SCC
@@ -209,19 +213,26 @@ def strongly_connected_components(
         colors = colors_ck.select("id", "color")
         frontier = colors
         color_iters = 0
+        # Unroll COLOR_UNROLL synchronous propagation steps into ONE lazy
+        # plan per materialization: iteration count is graph-structural
+        # (longest remaining path), so the win is amortizing the fixed
+        # job/checkpoint latency k-fold. Fixpoint test stays sound: max-
+        # propagation is monotone, so "last unrolled step changed nothing"
+        # implies the true fixpoint was reached.
         while True:
-            color_iters += 1
-            nbr_max = (
-                by_src.join(
-                    frontier.withColumnRenamed("id", "src").hint("shuffle_hash"),
-                    "src",
+            cur, fr = colors, frontier
+            step_out = None
+            for _ in range(COLOR_UNROLL):
+                color_iters += 1
+                nbr_max = (
+                    by_src.join(
+                        fr.withColumnRenamed("id", "src").hint("shuffle_hash"),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.max("color").alias("cm"))
                 )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.max("color").alias("cm"))
-            )
-            new_colors = (
-                colors.join(nbr_max, "id", "left")
-                .select(
+                step_out = cur.join(nbr_max, "id", "left").select(
                     "id",
                     F.greatest(
                         F.col("color"), F.coalesce("cm", F.col("color"))
@@ -230,8 +241,9 @@ def strongly_connected_components(
                         "_chg"
                     ),
                 )
-                .localCheckpoint()
-            )
+                cur = step_out.select("id", "color")
+                fr = step_out.filter(F.col("_chg")).select("id", "color")
+            new_colors = step_out.localCheckpoint()
             n_changed = new_colors.filter(F.col("_chg")).count()
             release_state(colors_ck)
             colors_ck = new_colors
@@ -249,18 +261,32 @@ def strongly_connected_components(
         ).localCheckpoint()
         frontier = reached
         extract_iters = 0
+        # Same amortization as COLOR: expand EXTRACT_UNROLL backward-BFS
+        # levels lazily (per-level distinct keeps set semantics), dedup
+        # against `reached` once at the end — revisited nodes ride along
+        # for at most k-1 lazy levels, then the anti-join drops them.
         while True:
-            extract_iters += 1
-            nxt = (
-                by_dst.join(
-                    frontier.withColumnRenamed("id", "dst").hint("shuffle_hash"),
-                    "dst",
+            fr = frontier
+            levels = []
+            for _ in range(EXTRACT_UNROLL):
+                extract_iters += 1
+                fr = (
+                    by_dst.join(
+                        fr.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+                        "dst",
+                    )
+                    .select("root", F.col("src").alias("id"))
+                    .distinct()
+                    .join(colors, "id")
+                    .filter(F.col("color") == F.col("root"))
+                    .select("root", "id")
                 )
-                .select("root", F.col("src").alias("id"))
-                .distinct()
-                .join(colors, "id")
-                .filter(F.col("color") == F.col("root"))
-                .select("root", "id")
+                levels.append(fr)
+            cand = levels[0]
+            for lv in levels[1:]:
+                cand = cand.unionByName(lv)
+            nxt = (
+                cand.distinct()
                 .join(reached, ["root", "id"], "left_anti")
                 .localCheckpoint()
             )

@@ -215,12 +215,16 @@ def main(argv: list[str] | None = None) -> int:
         from webgraph_rs_spark.algorithms import exact_sum_sweep
 
         res = exact_sum_sweep(_load(spark, args), mode=args.mode)
+        # uncertified values are null; the certified [lo, hi] intervals are
+        # always reported (never a 2^62 sentinel)
         print(json.dumps({
             "radius": res.radius, "diameter": res.diameter,
+            "radius_interval": list(res.radius_interval or ()),
+            "diameter_interval": list(res.diameter_interval or ()),
             "radial_node": res.radial_node, "diametral_node": res.diametral_node,
             "pivots": res.pivots_used, "converged": res.converged,
         }))
-        if args.mode == "all" and args.out:
+        if args.mode in ("all", "all_forward") and args.out:
             _emit(res.eccentricities, args.out)
     elif args.cmd == "pagerank":
         from webgraph_rs_spark.algorithms import pagerank

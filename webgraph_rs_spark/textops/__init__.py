@@ -28,6 +28,7 @@ from webgraph_rs_spark.textops.similarity import (  # noqa: F401
     ivf_ann_topk,
     ivf_assign,
     ivf_centroids,
+    ivf_kmeans_centroids,
     lsh_buckets,
     lsh_ann_topk,
 )

@@ -303,6 +303,60 @@ def ivf_centroids(
     )
 
 
+def ivf_kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, centroid): Lloyd-refined centroids, seeded from
+    :func:`ivf_centroids`. Each iteration is two DataFrame jobs — a
+    broadcast map-side assignment (no shuffle on the corpus) and a
+    groupBy(cell, dim) mean — so the per-iteration cost is one corpus
+    scan regardless of corpus size. The centroid table itself is the
+    model parameter (n_cells x dim, tiny by construction), so pulling it
+    to the driver between iterations is the honest plan — exactly what
+    any IVF trainer does; the corpus never leaves the executors. Empty
+    cells keep their previous centroid.
+    """
+    cts = ivf_centroids(emb, n_cells, id_col, vec_col).select(
+        "cell", "centroid"
+    )
+    spark = emb.sparkSession
+    for _ in range(iters):
+        assign = ivf_assign(emb, cts, n_cells, id_col, vec_col)
+        pe = emb.join(assign, id_col).select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            pe.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("nc"),
+            )
+        )
+        rows = (
+            cts.join(means, "cell", "left")
+            .select(
+                "cell", F.coalesce("nc", F.col("centroid")).alias("centroid")
+            )
+            .collect()
+        )
+        cts = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows],
+            "cell long, centroid array<double>",
+        )
+    return cts
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame | None = None,
@@ -344,13 +398,21 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``n_probe`` highest-
     cosine cells and re-ranks exactly within them (output shape of
     :func:`cosine_topk`). The 100 TB shape: centroid scoring is broadcast
     map-side; the candidate join hits only probed cells of the inverted
-    file (cells are the natural partition key for the corpus at rest)."""
-    cts = ivf_centroids(emb, n_cells, id_col, vec_col)
+    file (cells are the natural partition key for the corpus at rest).
+    ``centroids`` plugs in any (cell, centroid) table — e.g. the
+    k-means-refined :func:`ivf_kmeans_centroids`; default is the
+    deterministic seed table."""
+    cts = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_cells, id_col, vec_col)
+    )
     assign = ivf_assign(emb, cts, n_cells, id_col, vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
