@@ -173,6 +173,22 @@ def main() -> int:
 
     timed("hyperball", hb)
 
+    # -- BVGraph bitstream decode (round 3): the real cnr-2000, 3.2M arcs
+    def bv():
+        from webgraph_rs_spark.bvgraph import read_bvgraph
+
+        base = "/root/reference/data/cnr-2000"
+        if not os.path.exists(base + ".graph"):
+            return None
+        bg = read_bvgraph(spark, base, canonical=False)
+        return bg.edges.count()
+
+    decoded = timed("bv_decode", bv)
+    if decoded and "bv_decode" in timings:
+        extras["bv_decode_arcs_per_sec"] = round(
+            decoded / timings["bv_decode"], 1
+        )
+
     # -- training-data pipeline segments on the documents table
     docs_holder = {}
 

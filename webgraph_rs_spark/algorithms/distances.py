@@ -197,11 +197,21 @@ def hyperball(
     frontier, broadcast while small); everyone else keeps their sketch.
     Deviation from the reference, documented: the reference tracks raw
     counter modifications; datasketches serialization is representation-
-    dependent (identical register content re-serializes differently), so
-    the frontier here is keyed on *estimate* changes. A register bump that
-    does not move the estimate (possible inside the linear-counting
-    plateau) propagates only when it surfaces in an estimate — an error
-    inside HyperBall's own approximation envelope.
+    dependent (identical register content re-serializes differently, so
+    byte equality cannot detect register change), and the frontier here is
+    keyed on *estimate* changes instead. This is NOT merely "error within
+    the sketch sigma": a register bump whose estimate delta rounds away
+    (possible on the linear-counting plateau) stops propagating at that
+    node PERMANENTLY — on a long chain downstream of it the increment can
+    be lost entirely, an error mode the reference's modification-tracked
+    systolic mode does not have, and the tail-radius error it induces can
+    exceed the per-node sketch sigma on adversarial chain graphs. In
+    practice the estimate is a double computed from all registers, so a
+    plateau-exact collision is rare, and the convergence metrics
+    (``rel_grow``) bound the *global* mass lost per round; callers that
+    need the reference's exact systolic semantics should set
+    ``systolic_threshold=0.0`` (dense recompute every round — same
+    estimates, no frontier shortcut).
 
     Centrality accumulators follow ``hyperball.rs:1295-1416``: with b_t(v)
     the ball estimate at radius t, each increment (b_t - b_{t-1})
