@@ -213,16 +213,21 @@ def strongly_connected_components(
         colors = colors_ck.select("id", "color")
         frontier = colors
         color_iters = 0
-        # Unroll COLOR_UNROLL synchronous propagation steps into ONE lazy
-        # plan per materialization: iteration count is graph-structural
-        # (longest remaining path), so the win is amortizing the fixed
-        # job/checkpoint latency k-fold. Fixpoint test stays sound: max-
+        n_changed = n_alive
+        # Unroll up to COLOR_UNROLL synchronous propagation steps into ONE
+        # lazy plan per materialization — but ADAPTIVELY: while the
+        # frontier is wide (> 25% of alive) every sub-step is a full-price
+        # edge join, so unrolling only wastes overshoot work; once the
+        # frontier is small (the long-chain tail, where iteration count is
+        # graph-structural) the k-fold amortization of job/checkpoint
+        # latency is nearly free. Fixpoint test stays sound: max-
         # propagation is monotone, so "last unrolled step changed nothing"
         # implies the true fixpoint was reached.
         while True:
+            unroll = COLOR_UNROLL if n_changed < 0.25 * n_alive else 1
             cur, fr = colors, frontier
             step_out = None
-            for _ in range(COLOR_UNROLL):
+            for _ in range(unroll):
                 color_iters += 1
                 nbr_max = (
                     by_src.join(
@@ -261,14 +266,18 @@ def strongly_connected_components(
         ).localCheckpoint()
         frontier = reached
         extract_iters = 0
-        # Same amortization as COLOR: expand EXTRACT_UNROLL backward-BFS
-        # levels lazily (per-level distinct keeps set semantics), dedup
-        # against `reached` once at the end — revisited nodes ride along
-        # for at most k-1 lazy levels, then the anti-join drops them.
+        n_next = n_alive
+        # Same adaptive amortization as COLOR: expand up to EXTRACT_UNROLL
+        # backward-BFS levels lazily (per-level distinct keeps set
+        # semantics), dedup against `reached` once at the end — revisited
+        # nodes ride along for at most k-1 lazy levels, then the anti-join
+        # drops them. Unroll only on small frontiers: a wide mid-BFS
+        # frontier makes the second lazy level a full extra edge join.
         while True:
+            unroll = EXTRACT_UNROLL if n_next < 0.25 * n_alive else 1
             fr = frontier
             levels = []
-            for _ in range(EXTRACT_UNROLL):
+            for _ in range(unroll):
                 extract_iters += 1
                 fr = (
                     by_dst.join(
@@ -315,7 +324,8 @@ def strongly_connected_components(
         old_alive = alive
         alive = alive.join(member_ids, "id", "left_anti").localCheckpoint()
         n_alive = alive.count()
-        _swap_edges(alive)
+        if n_alive > 0:  # loop exits anyway when nothing is left
+            _swap_edges(alive)
         release_state(old_alive)
         release_state(member_ids)
         metrics.append({"round": rounds, "trimmed": trimmed_total,
