@@ -99,6 +99,40 @@ def test_bitreader_codec_roundtrip():
     assert [r.read_zeta(3) for _ in vals] == vals
 
 
+def test_delta_code_and_flag_parsing(tmp_path):
+    from webgraph_rs_spark.bvgraph import BitReader, read_properties
+
+    # delta roundtrip: gamma(bit-length) + mantissa
+    vals = [0, 1, 2, 3, 4, 7, 8, 100, 12345]
+    w = _BitWriter()
+    for v in vals:
+        n = v + 1
+        b = n.bit_length()
+        w.write_gamma(b - 1)
+        w.write_bits(n - (1 << (b - 1)), b - 1)
+    r = BitReader(w.to_bytes())
+    assert [r.read_delta() for _ in vals] == vals
+
+    # compressionflags override the per-field code table
+    p = tmp_path / "x.properties"
+    p.write_text(
+        "nodes=10\narcs=20\nwindowsize=7\nmaxrefcount=3\n"
+        "minintervallength=4\nzetak=3\n"
+        "compressionflags=OUTDEGREES_DELTA|RESIDUALS_GAMMA\n"
+    )
+    props = read_properties(str(p))
+    assert props.codes["OUTDEGREES"] == "DELTA"
+    assert props.codes["RESIDUALS"] == "GAMMA"
+    assert props.codes["BLOCKS"] == "GAMMA"  # untouched default
+
+    import pytest as _pytest
+
+    bad = tmp_path / "y.properties"
+    bad.write_text("nodes=1\narcs=0\ncompressionflags=RESIDUALS_GOLOMB\n")
+    with _pytest.raises(NotImplementedError):
+        read_properties(str(bad))
+
+
 def test_nat2int_bijection():
     from webgraph_rs_spark.bvgraph import nat2int
 

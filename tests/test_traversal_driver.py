@@ -42,6 +42,31 @@ def test_bfs_multi_source_and_unreachable(spark):
     assert got == bfs_distances_oracle(nn, edges, [0, 7])
 
 
+def test_bfs_node_filter(spark):
+    """Filter callback semantics (visits/mod.rs:36-41): a filtered node is
+    never visited NOR expanded — nodes reachable only through it stay
+    unreached; the filter applies to roots too."""
+    from pyspark.sql import functions as F
+
+    # 0 -> 1 -> 2 -> 3 and 0 -> 4; filtering node 2 must drop {2, 3}
+    edges = [(0, 1), (1, 2), (2, 3), (0, 4)]
+    g = graph_from_pandas(spark, edges, 5)
+    res = bfs_distances(g, [0], node_filter=F.col("id") != 2)
+    got = {r["id"]: r["distance"] for r in res.distances.collect()}
+    assert got == {0: 0, 1: 1, 4: 1}
+    # filtered root: nothing is visited at all
+    res2 = bfs_distances(g, [0], node_filter=F.col("id") > 0)
+    assert res2.distances.count() == 0
+    # bfs_tree composes with the filter (pred never crosses a filtered node)
+    from webgraph_rs_spark.algorithms import bfs_tree
+
+    t = {
+        r["id"]: (r["distance"], r["pred"])
+        for r in bfs_tree(g, [0], node_filter=F.col("id") != 2).collect()
+    }
+    assert t == {0: (0, None), 1: (1, 0), 4: (1, 0)}
+
+
 def test_bfs_order_is_permutation(spark):
     n, edges = canonical8()
     g = graph_from_pandas(spark, edges, n)

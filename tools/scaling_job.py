@@ -31,6 +31,10 @@ N_NODES = int(os.environ.get("SCALING_N_NODES", 1 << 21))
 # they do on a real cluster-sized input — the scaling criterion measures
 # the JOB's scalability, not the constant overhead of a toy input.
 OUT_DEG = int(os.environ.get("SCALING_OUT_DEG", 64))
+# FIXED across parallelism levels by default (see the comment at get_spark
+# below); override to probe whether partition count, not hardware, is the
+# limiter at high core counts (the 8->32 leg diagnosis, BENCH/BASELINE.md)
+PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", 16))
 PAGES_NODES = 400_000
 PR_WARMUP = 2
 PR_TIMED = 8
@@ -59,7 +63,7 @@ def main() -> int:
     spark = get_spark(
         app_name=f"scaling_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=16,
+        shuffle_partitions=PARTITIONS,
         extra_conf={
             # 32g is ample (the 134M-arc edge cache is ~3 GB); a fatter heap
             # just raises host OOM-kill pressure on the shared box
@@ -78,7 +82,7 @@ def main() -> int:
     )
     edges = edges.unionByName(hub).filter(F.col("src") != F.col("dst"))
     t0 = time.monotonic()
-    e = canonical_edge_layout(edges, num_partitions=16).persist()
+    e = canonical_edge_layout(edges, num_partitions=PARTITIONS).persist()
     m = e.count()
     build_sec = time.monotonic() - t0
     g = LinkGraph(e, spark.range(N_NODES).select("id"), _num_nodes=N_NODES)
@@ -123,6 +127,7 @@ def main() -> int:
 
     out = {
         "cores": cores,
+        "partitions": PARTITIONS,
         "nodes": N_NODES,
         "arcs": int(m),
         "graph_build_sec": round(build_sec, 2),

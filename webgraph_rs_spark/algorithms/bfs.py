@@ -35,6 +35,7 @@ def bfs_distances(
     g: LinkGraph,
     roots: list[int] | DataFrame,
     max_depth: int | None = None,
+    node_filter=None,
 ) -> BFSResult:
     """Multi-source BFS distances over the directed graph.
 
@@ -42,12 +43,24 @@ def bfs_distances(
     (anti-join), append to the distance table. Frontier size is tracked on
     the driver (an action per level — same as the reference's per-level
     ``FrontierSize`` event) to decide broadcast vs shuffle expansion.
+
+    ``node_filter`` is the Spark form of the reference visits' filter
+    callback (``webgraph/src/visits/mod.rs:36-41``,
+    ``breadth_first/mod.rs:30-183``: a predicate over the visit event that,
+    when false, skips visiting AND expanding the node): a pyspark Column
+    predicate over the candidate node id column ``id`` — e.g.
+    ``F.col("id") % 2 == 0``. Filtered nodes are never visited, never
+    expanded, and absent from the distance table; applied to roots too,
+    exactly like the reference. Event *callbacks* (Revisit etc.) have no
+    Spark analogue — the distance/pred tables are the event stream.
     """
     spark = g.edges.sparkSession
     if isinstance(roots, DataFrame):
         frontier = roots.select(F.col("id").cast("long"))
     else:
         frontier = spark.createDataFrame([(int(r),) for r in roots], "id long")
+    if node_filter is not None:
+        frontier = frontier.filter(node_filter)
     edges = g.edges.repartition("src").persist()
     edges.count()
 
@@ -70,7 +83,10 @@ def bfs_distances(
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
-        ).localCheckpoint()
+        )
+        if node_filter is not None:
+            nxt = nxt.filter(node_filter)
+        nxt = nxt.localCheckpoint()
         depth += 1
         n_frontier = nxt.count()
         if n_frontier > 0:
@@ -89,6 +105,7 @@ def bfs_tree(
     g: LinkGraph,
     roots: list[int] | DataFrame,
     max_depth: int | None = None,
+    node_filter=None,
 ) -> DataFrame:
     """Shortest-path forest: (id, distance, pred) for every reached node.
 
@@ -100,7 +117,9 @@ def bfs_tree(
     shortest-path extraction is reproducible. One extra edge-scan join after
     the distance computation (pred(v) depends only on final distances).
     """
-    d = bfs_distances(g, roots, max_depth=max_depth).distances
+    d = bfs_distances(
+        g, roots, max_depth=max_depth, node_filter=node_filter
+    ).distances
     preds = (
         g.edges.join(
             d.select(F.col("id").alias("src"), F.col("distance").alias("ds")),

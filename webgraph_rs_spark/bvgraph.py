@@ -94,6 +94,11 @@ class BitReader:
             return m + left - 1
         return (m << 1) + self.read_bits(1) - 1
 
+    def read_delta(self) -> int:
+        """Elias delta: gamma-coded bit length, then the mantissa."""
+        h = self.read_gamma()
+        return ((1 << h) | self.read_bits(h)) - 1
+
 
 def nat2int(n: int) -> int:
     """Inverse of the standard nonneg<->int bijection (0,-1,1,-2,2,...)."""
@@ -101,6 +106,18 @@ def nat2int(n: int) -> int:
 
 
 # ------------------------------------------------------------ properties
+
+
+# per-field default codes (comp/flags.rs:45-49); the Java manifest can
+# override any field via compressionflags tokens like OUTDEGREES_DELTA
+_FIELDS = {
+    "OUTDEGREES": "GAMMA",
+    "REFERENCES": "UNARY",
+    "BLOCKS": "GAMMA",
+    "INTERVALS": "GAMMA",
+    "RESIDUALS": "ZETA",
+}
+_KNOWN_CODES = {"GAMMA", "UNARY", "DELTA", "ZETA"}
 
 
 @dataclass
@@ -111,10 +128,48 @@ class BvProperties:
     max_ref_count: int
     min_interval_length: int
     zeta_k: int
+    codes: dict = None  # field -> code name, per _FIELDS
+
+    def reader_for(self, field: str):
+        """Return an unbound read method for the field's code."""
+        code = (self.codes or _FIELDS)[field]
+        k = self.zeta_k
+        if code == "GAMMA":
+            return BitReader.read_gamma
+        if code == "UNARY":
+            return BitReader.read_unary
+        if code == "DELTA":
+            return BitReader.read_delta
+        if code == "ZETA":
+            return lambda r: r.read_zeta(k)
+        raise NotImplementedError(code)  # pragma: no cover
+
+    def readers(self):
+        """(outdegree, reference, block, interval, residual) read
+        functions, bound once (a per-call rebuild would dominate the
+        hot decode loop)."""
+        cached = getattr(self, "_readers", None)
+        if cached is None:
+            cached = tuple(
+                self.reader_for(f)
+                for f in (
+                    "OUTDEGREES",
+                    "REFERENCES",
+                    "BLOCKS",
+                    "INTERVALS",
+                    "RESIDUALS",
+                )
+            )
+            object.__setattr__(self, "_readers", cached)
+        return cached
 
 
 def read_properties(path: str) -> BvProperties:
-    """Parse the Java-style ``.properties`` manifest (key=value lines)."""
+    """Parse the Java-style ``.properties`` manifest (key=value lines).
+
+    ``compressionflags`` tokens (e.g. ``OUTDEGREES_DELTA|RESIDUALS_GAMMA``)
+    override the per-field default codes; gamma/unary/delta/zeta_k are
+    supported — the full set the Java writer emits for web graphs."""
     kv: dict[str, str] = {}
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
@@ -123,12 +178,22 @@ def read_properties(path: str) -> BvProperties:
                 continue
             k, v = line.split("=", 1)
             kv[k.strip()] = v.strip()
+    codes = dict(_FIELDS)
     flags = kv.get("compressionflags", "")
-    if flags:  # pragma: no cover - cnr-2000 uses the defaults
-        raise NotImplementedError(
-            f"non-default compression flags not supported: {flags!r} "
-            "(defaults per comp/flags.rs:45-49: GAMMA/UNARY/GAMMA/GAMMA/ZETA)"
-        )
+    if flags:
+        for token in flags.replace(",", "|").split("|"):
+            token = token.strip()
+            if not token:
+                continue
+            field, _, code = token.rpartition("_")
+            code = code.upper()
+            if code.startswith("ZETA"):
+                code = "ZETA"
+            if field.upper() not in codes or code not in _KNOWN_CODES:
+                raise NotImplementedError(
+                    f"unsupported compression flag {token!r}"
+                )
+            codes[field.upper()] = code
     return BvProperties(
         nodes=int(kv["nodes"]),
         arcs=int(kv["arcs"]),
@@ -136,6 +201,7 @@ def read_properties(path: str) -> BvProperties:
         max_ref_count=int(kv.get("maxrefcount", 3)),
         min_interval_length=int(kv.get("minintervallength", 4)),
         zeta_k=int(kv.get("zetak", 3)),
+        codes=codes,
     )
 
 
@@ -164,25 +230,26 @@ def decode_successors(
     """Decode node ``x``'s successor list; ``resolve(y)`` returns the
     already-decoded list of an earlier node for the reference part.
     Mirrors ``sequential.rs:300-385``."""
+    rd_out, rd_ref, rd_blk, rd_int, rd_res = props.readers()
     r = BitReader(data, int(offsets[x]))
-    d = r.read_gamma()
+    d = rd_out(r)
     if d == 0:
         return []
     res: list[int] = []
     if props.window_size:
-        ref = r.read_unary()
+        ref = rd_ref(r)
         if ref:
             parent = resolve(x - ref)
-            nb = r.read_gamma()
+            nb = rd_blk(r)
             if nb == 0:
                 res.extend(parent)  # no blocks => copy everything
             else:
                 # first block verbatim, later blocks are stored minus 1;
                 # even-indexed blocks copy, odd-indexed skip, even count
                 # copies the tail (masked_iter.rs:34-63)
-                blocks = [r.read_gamma()]
+                blocks = [rd_blk(r)]
                 for _ in range(1, nb):
-                    blocks.append(r.read_gamma() + 1)
+                    blocks.append(rd_blk(r) + 1)
                 idx = 0
                 for bi, b in enumerate(blocks):
                     end = idx + b
@@ -193,28 +260,27 @@ def decode_successors(
                     res.extend(parent[idx:])
     left = d - len(res)
     if left and props.min_interval_length:
-        ic = r.read_gamma()
+        ic = rd_int(r)
         if ic:
             # first extreme is nat2int-coded relative to x; later extremes
             # are gaps from previous right extreme + 2; lengths are stored
             # minus min_interval_length
-            start = x + nat2int(r.read_gamma())
-            ln = r.read_gamma() + props.min_interval_length
+            start = x + nat2int(rd_int(r))
+            ln = rd_int(r) + props.min_interval_length
             res.extend(range(start, start + ln))
             left -= ln
             start += ln
             for _ in range(1, ic):
-                start += 1 + r.read_gamma()
-                ln = r.read_gamma() + props.min_interval_length
+                start += 1 + rd_int(r)
+                ln = rd_int(r) + props.min_interval_length
                 res.extend(range(start, start + ln))
                 left -= ln
                 start += ln
     if left:
-        k = props.zeta_k
-        prev = x + nat2int(r.read_zeta(k))
+        prev = x + nat2int(rd_res(r))
         res.append(prev)
         for _ in range(1, left):
-            prev += 1 + r.read_zeta(k)
+            prev += 1 + rd_res(r)
             res.append(prev)
     res.sort()
     return res
