@@ -847,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "eccentricities",
                 "radius_diameter",
                 "hyperball_centralities",
+                "hyperball_weighted",
                 "llp_permutation",
             )
         },
@@ -1922,6 +1923,51 @@ def _q_hyperball(spark, sf):
     )
 
 
+def _q_hyperball_weighted(spark, sf):
+    """Weighted HyperBall (hyperball.rs:542-576,866-884): counters seeded
+    with weight(v) distinct elements make reachable_est estimate the total
+    WEIGHT of the ball. Gated like hyperball_centralities: estimates
+    bounded against the exact weighted oracle computed from all-pairs
+    distances on the same graph; deterministic weights id % 5 include
+    zero-weight nodes."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import orders_graph
+    from webgraph_rs_spark.algorithms.distances import (
+        all_pairs_distances,
+        hyperball,
+    )
+
+    g = orders_graph(spark, sf)
+    w = g.vertices.select(
+        "id", (F.col("id") % 5).cast("long").alias("weight")
+    )
+    hb = hyperball(g, max_iter=16, weights=w)
+    d = all_pairs_distances(g).distances  # (root, id, distance)
+    exact = (
+        d.join(w, "id")
+        .groupBy(F.col("root").alias("id"))
+        .agg(
+            F.sum("weight").cast("double").alias("wreach"),
+            F.sum(F.col("weight") * F.col("distance"))
+            .cast("double")
+            .alias("wsumdist"),
+        )
+    )
+    j = hb.centralities.join(exact, "id")
+    rel = lambda est, ex: F.abs(F.col(est) - F.col(ex)) / F.greatest(  # noqa: E731
+        F.col(ex).cast("double"), F.lit(1.0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("nodes"),
+        F.sum(
+            F.when(rel("reachable_est", "wreach") > 0.10, 1).otherwise(0)
+        ).cast("long").alias("reach_viol"),
+        F.sum(
+            F.when(rel("sum_dist_est", "wsumdist") > 0.15, 1).otherwise(0)
+        ).cast("long").alias("sumdist_viol"),
+    )
+
+
 def _q_llp(spark, sf):
     """LLP permutation validity, SQL-gated: the permutation must be a
     bijection onto the contiguous range 0..n-1, and the combined labeling's
@@ -1954,6 +2000,7 @@ _DIST_QUERIES = {
     "eccentricities": _q_ecc,
     "radius_diameter": _q_radius_diameter,
     "hyperball_centralities": _q_hyperball,
+    "hyperball_weighted": _q_hyperball_weighted,
     "llp_permutation": _q_llp,
 }
 
@@ -2017,6 +2064,11 @@ SELECT min(ecc)::BIGINT AS radius, max(ecc)::BIGINT AS diameter FROM alle
         "hyperball_centralities": """
 SELECT count(*)::BIGINT AS nodes, 0::BIGINT AS reach_viol,
        0::BIGINT AS sumdist_viol, 0::BIGINT AS harm_viol
+FROM range(1024)
+""",
+        "hyperball_weighted": """
+SELECT count(*)::BIGINT AS nodes, 0::BIGINT AS reach_viol,
+       0::BIGINT AS sumdist_viol
 FROM range(1024)
 """,
         "llp_permutation": """
