@@ -230,6 +230,44 @@ def test_transpose_bitstream_cross_check(spark, cnr):
     assert gt.edges.exceptAll(flipped).count() == 0
 
 
+def test_write_bvgraph_roundtrip_small(spark, tmp_path):
+    """`to bvgraph` with REAL format output: encode a small graph in
+    window-0 BV form, decode it back with the (independently golden-
+    validated) reader; edge sets must match exactly, including dangling
+    and isolated nodes."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+    edges = [(0, 1), (0, 5), (1, 2), (2, 0), (5, 1), (7, 0), (3, 9)]
+    g = graph_from_pandas(spark, edges, 10)  # node 4,6,8 isolated
+    base = str(tmp_path / "g")
+    stats = write_bvgraph(spark, g, base, num_partitions=3)
+    assert (stats["nodes"], stats["arcs"]) == (10, len(edges))
+    g2 = read_bvgraph(spark, base, canonical=False)
+    assert g2.num_nodes == 10
+    got = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert got == sorted(edges)
+
+
+def test_write_bvgraph_roundtrip_cnr2000(spark, cnr, tmp_path):
+    """Re-encode the full decoded cnr-2000 and decode it back: 3,216,152
+    arcs must survive byte-exactly. This closes the format loop — the
+    engine can both ingest AND export WebGraph-toolchain-compatible
+    files (window-0 profile)."""
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+    base = str(tmp_path / "cnr-copy")
+    stats = write_bvgraph(spark, cnr, base)
+    assert stats["arcs"] == GOLDEN_ARCS
+    g2 = read_bvgraph(spark, base, canonical=False)
+    assert g2.edges.count() == GOLDEN_ARCS
+    diff = (
+        g2.edges.exceptAll(cnr.edges).count()
+        + cnr.edges.exceptAll(g2.edges).count()
+    )
+    assert diff == 0
+
+
 def test_scc_golden_cnr2000(spark, cnr):
     """Mirror of ``algo/tests/test_sccs.rs:183-210`` plus the shipped
     label/size files: SCC count 100,977, exact partition equivalence vs

@@ -52,6 +52,30 @@ def test_cli_roundtrip_and_algorithms(spark, tmp_path, capsys):
     assert by_id[3]["distance"] == 1 and by_id[3]["pred"] == 4
 
 
+def test_cli_bv_roundtrip(spark, tmp_path, capsys):
+    """to-bv -> from-bv closes the real-format loop from the CLI."""
+    arcs = tmp_path / "arcs3.tsv"
+    arcs.write_text("0\t1\n0\t2\n1\t2\n2\t0\n3\t1\n")
+    gdir = str(tmp_path / "g3")
+    _run(capsys, "from-arcs", "--input", str(arcs), "--output", gdir)
+
+    bv = str(tmp_path / "bv" / "g3")
+    stats = _run(capsys, "to-bv", "--graph", gdir, "--output", bv)[-1]
+    assert (stats["nodes"], stats["arcs"]) == (4, 5)
+    assert os.path.exists(bv + ".graph")
+    assert os.path.exists(bv + ".offsets")
+    assert os.path.exists(bv + ".properties")
+
+    g2dir = str(tmp_path / "g3_back")
+    man = _run(capsys, "from-bv", "--input", bv, "--output", g2dir)[-1]
+    assert (man["nodes"], man["arcs"]) == (4, 5)
+    edges = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(os.path.join(g2dir, "edges")).collect()
+    }
+    assert edges == {(0, 1), (0, 2), (1, 2), (2, 0), (3, 1)}
+
+
 def test_cli_transform_and_check_surface(spark, tmp_path, capsys):
     arcs = tmp_path / "arcs2.tsv"
     arcs.write_text("0\t1\n1\t0\n1\t2\n2\t1\n")

@@ -77,6 +77,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
 
+    sp = sub.add_parser(
+        "from-bv",
+        help="ingest a REAL BVGraph bitstream basename (bvgraph/mod.rs format)",
+    )
+    sp.add_argument("--input", required=True, help="BVGraph basename (no extension)")
+    sp.add_argument("--output", required=True, help="stored-graph output dir")
+
+    sp = sub.add_parser(
+        "to-bv",
+        help="export as a real BVGraph bitstream (window-0 profile)",
+    )
+    g_arg(sp, out=False)
+    sp.add_argument("--output", required=True, help="BVGraph basename to write")
+
     for name in ("stats", "triangles", "acyclic", "sumsweep"):
         sp = sub.add_parser(name)
         g_arg(sp, out=False)
@@ -198,6 +212,16 @@ def main(argv: list[str] | None = None) -> int:
         from webgraph_rs_spark.io import recompress
 
         print(json.dumps(recompress(spark, args.input, args.output)))
+    elif args.cmd == "from-bv":
+        from webgraph_rs_spark.bvgraph import read_bvgraph
+        from webgraph_rs_spark.io import write_graph
+
+        g = read_bvgraph(spark, args.input)
+        print(json.dumps(write_graph(g, args.output), default=str))
+    elif args.cmd == "to-bv":
+        from webgraph_rs_spark.bvgraph import write_bvgraph
+
+        print(json.dumps(write_bvgraph(spark, _load(spark, args), args.output)))
     elif args.cmd == "stats":
         from webgraph_rs_spark.stats import graph_stats
 
