@@ -230,6 +230,67 @@ def test_transpose_bitstream_cross_check(spark, cnr):
     assert gt.edges.exceptAll(flipped).count() == 0
 
 
+def test_analyze_codes_matches_compressor_records(decoded_prefix):
+    """`analyze codes` as a whole-stream golden: the decoder's bit-level
+    accounting of cnr-2000.graph must reproduce the EXACT statistics the
+    Java compressor recorded in `.properties` in 2010 — five per-field
+    bit totals, three arc-class counts, chain/distance averages, and
+    bits-per-link, on BOTH independently compressed bitstreams."""
+    from webgraph_rs_spark.bvgraph import analyze_codes
+
+    out = analyze_codes(DATA)
+    want = {
+        "bitsforoutdegrees": 1_660_205,
+        "bitsforblocks": 1_353_080,
+        "bitsforintervals": 829_187,
+        "bitsforresiduals": 4_694_729,
+        "bitsforreferences": 781_540,
+        "residualarcs": 577_350,
+        "copiedarcs": 2_195_145,
+        "intervalisedarcs": 443_657,
+        "avgref": 1.311,
+        "avgdist": 1.64,
+        "bitsperlink": 2.897,
+        "bitspernode": 28.624,
+    }
+    assert {k: out[k] for k in want} == want
+
+    out_t = analyze_codes(DATA + "-t")
+    want_t = {
+        "residualarcs": 541_032,
+        "copiedarcs": 2_054_948,
+        "intervalisedarcs": 620_172,
+    }
+    assert {k: out_t[k] for k in want_t} == want_t
+
+
+def test_build_offsets_matches_offsets_file(decoded_prefix):
+    """`build offsets` (sequential single-reader pass, no .offsets file)
+    must reproduce the shipped offsets stream bit-for-bit."""
+    from webgraph_rs_spark.bvgraph import build_offsets
+
+    props, data, offsets, _ = decoded_prefix
+    rebuilt = build_offsets(data, props)
+    assert np.array_equal(rebuilt, offsets)
+
+
+def test_read_bvgraph_without_offsets_file(spark, tmp_path):
+    """Ingestion works for a basename with no .offsets (falls back to the
+    sequential build)."""
+    import shutil
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    g = graph_from_pandas(spark, edges, 5)
+    base = str(tmp_path / "nooff")
+    write_bvgraph(spark, g, base, num_partitions=2)
+    (tmp_path / "nooff.offsets").unlink()
+    g2 = read_bvgraph(spark, base, canonical=False)
+    got = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert got == sorted(edges)
+
+
 def test_write_bvgraph_roundtrip_small(spark, tmp_path):
     """`to bvgraph` with REAL format output: encode a small graph in
     window-0 BV form, decode it back with the (independently golden-

@@ -231,16 +231,45 @@ def decode_successors(
     """Decode node ``x``'s successor list; ``resolve(y)`` returns the
     already-decoded list of an earlier node for the reference part.
     Mirrors ``sequential.rs:300-385``."""
+    return decode_list_at(
+        BitReader(data, int(offsets[x])), x, props, resolve
+    )
+
+
+def decode_list_at(
+    r: BitReader,
+    x: int,
+    props: BvProperties,
+    resolve,
+    acct: dict | None = None,
+) -> list[int]:
+    """Decode one successor list from the reader's CURRENT position
+    (sequential form — enables offsets-free ingestion and the bit-level
+    code accounting of the reference's ``analyze codes``). ``acct``, if
+    given, accumulates per-field bit totals and arc-class counts in the
+    exact taxonomy the Java compressor writes into ``.properties``
+    (bitsforoutdegrees/-references/-blocks/-intervals/-residuals,
+    copiedarcs/intervalisedarcs/residualarcs, reference-value sums)."""
     rd_out, rd_ref, rd_blk, rd_int, rd_res = props.readers()
-    r = BitReader(data, int(offsets[x]))
+    p0 = r.pos
     d = rd_out(r)
+    if acct is not None:
+        acct["bitsforoutdegrees"] += r.pos - p0
     if d == 0:
         return []
     res: list[int] = []
     if props.window_size:
+        p1 = r.pos
         ref = rd_ref(r)
+        if acct is not None:
+            acct["bitsforreferences"] += r.pos - p1
+            acct["_ref_sum"] += ref
+            acct["_last_ref"] = ref
+            if ref:
+                acct["_ref_nonzero"] += 1
         if ref:
             parent = resolve(x - ref)
+            p2 = r.pos
             nb = rd_blk(r)
             if nb == 0:
                 res.extend(parent)  # no blocks => copy everything
@@ -259,8 +288,13 @@ def decode_successors(
                     idx = end
                 if nb % 2 == 0:
                     res.extend(parent[idx:])
+            if acct is not None:
+                acct["bitsforblocks"] += r.pos - p2
+                acct["copiedarcs"] += len(res)
     left = d - len(res)
     if left and props.min_interval_length:
+        p3 = r.pos
+        n_before_intervals = len(res)
         ic = rd_int(r)
         if ic:
             # first extreme is nat2int-coded relative to x; later extremes
@@ -277,12 +311,19 @@ def decode_successors(
                 res.extend(range(start, start + ln))
                 left -= ln
                 start += ln
+        if acct is not None:
+            acct["bitsforintervals"] += r.pos - p3
+            acct["intervalisedarcs"] += len(res) - n_before_intervals
     if left:
+        p4 = r.pos
         prev = x + nat2int(rd_res(r))
         res.append(prev)
         for _ in range(1, left):
             prev += 1 + rd_res(r)
             res.append(prev)
+        if acct is not None:
+            acct["bitsforresiduals"] += r.pos - p4
+            acct["residualarcs"] += left
     res.sort()
     return res
 
@@ -352,8 +393,13 @@ def read_bvgraph(
     n = props.nodes
     with open(basename + ".graph", "rb") as f:
         data = f.read()
-    with open(basename + ".offsets", "rb") as f:
-        offsets = decode_offsets(f.read(), n)
+    if os.path.exists(basename + ".offsets"):
+        with open(basename + ".offsets", "rb") as f:
+            offsets = decode_offsets(f.read(), n)
+    else:
+        # `build offsets` fallback: one sequential driver-side pass over
+        # the bitstream (cli/src/build/offsets.rs)
+        offsets = build_offsets(data, props)
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranges = _balanced_ranges(offsets, n, parts)
@@ -400,6 +446,91 @@ def read_bvgraph(
         edges = edges.repartition(parts, "src").sortWithinPartitions("src", "dst")
     vertices = spark.range(n).select("id")
     return LinkGraph(edges, vertices, _num_nodes=n, _num_arcs=props.arcs)
+
+
+def sequential_pass(
+    data: bytes, props: BvProperties, acct: dict | None = None
+) -> np.ndarray:
+    """One sequential decode of the whole stream with a single reader —
+    no ``.offsets`` file needed (backward references resolve from the
+    sliding window of the last ``window_size`` decoded lists). Returns
+    the n+1 bit offsets; with ``acct``, also fills the per-field code
+    accounting. This is the reference's ``build offsets``
+    (``cli/src/build/offsets.rs``) and the substrate of ``analyze
+    codes`` (``cli/src/analyze/codes.rs``)."""
+    n = props.nodes
+    r = BitReader(data, 0)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    window: dict[int, list[int]] = {}
+    w = props.window_size
+
+    def resolve(y: int) -> list[int]:
+        return window[y]  # sequential order guarantees presence
+
+    chains: dict[int, int] = {}  # reference-chain length per window node
+    for x in range(n):
+        offsets[x] = r.pos
+        if acct is not None:
+            acct["_last_ref"] = 0
+        window[x] = decode_list_at(r, x, props, resolve, acct)
+        if acct is not None:
+            ref = acct["_last_ref"]
+            chains[x] = 0 if ref == 0 else chains[x - ref] + 1
+            acct["_chain_sum"] += chains[x]
+            chains.pop(x - w, None)
+        window.pop(x - w, None)
+    offsets[n] = r.pos
+    return offsets
+
+
+def build_offsets(data: bytes, props: BvProperties) -> np.ndarray:
+    """Reconstruct the offsets index from the graph bitstream alone."""
+    return sequential_pass(data, props)
+
+
+def analyze_codes(basename: str) -> dict:
+    """Bit-level code accounting of a BVGraph file in the exact taxonomy
+    the Java compressor records in ``.properties`` — per-field bit totals
+    (bitsforoutdegrees/-references/-blocks/-intervals/-residuals) and
+    arc-class counts (copiedarcs/intervalisedarcs/residualarcs), plus the
+    derived avgref/bitsperlink/bitspernode. On cnr-2000 every one of
+    these must equal the values the compressor wrote 15 years ago — a
+    whole-stream golden on the decoder's bit accounting."""
+    props = read_properties(basename + ".properties")
+    with open(basename + ".graph", "rb") as f:
+        data = f.read()
+    acct = {
+        "bitsforoutdegrees": 0,
+        "bitsforreferences": 0,
+        "bitsforblocks": 0,
+        "bitsforintervals": 0,
+        "bitsforresiduals": 0,
+        "copiedarcs": 0,
+        "intervalisedarcs": 0,
+        "residualarcs": 0,
+        "_ref_sum": 0,
+        "_ref_nonzero": 0,
+        "_chain_sum": 0,
+        "_last_ref": 0,
+    }
+    offsets = sequential_pass(data, props, acct)
+    total_bits = int(offsets[-1])
+    n, m = props.nodes, props.arcs
+    out = {k: v for k, v in acct.items() if not k.startswith("_")}
+    out.update(
+        {
+            "nodes": n,
+            "arcs": m,
+            "total_bits": total_bits,
+            # avgref = mean reference-CHAIN length; avgdist = mean
+            # reference value (both per the Java stats writer)
+            "avgref": round(acct["_chain_sum"] / max(n, 1), 3),
+            "avgdist": round(acct["_ref_sum"] / max(n, 1), 3),
+            "bitsperlink": round(total_bits / max(m, 1), 3),
+            "bitspernode": round(total_bits / max(n, 1), 3),
+        }
+    )
+    return out
 
 
 # ------------------------------------------------------------ encoder

@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     g_arg(sp, out=False)
     sp.add_argument("--output", required=True, help="BVGraph basename to write")
 
+    sp = sub.add_parser(
+        "analyze-bv",
+        help="bit-level code accounting of a BVGraph file "
+        "(cli/src/analyze/codes.rs)",
+    )
+    sp.add_argument("--input", required=True, help="BVGraph basename")
+
     for name in ("stats", "triangles", "acyclic", "sumsweep"):
         sp = sub.add_parser(name)
         g_arg(sp, out=False)
@@ -222,6 +229,10 @@ def main(argv: list[str] | None = None) -> int:
         from webgraph_rs_spark.bvgraph import write_bvgraph
 
         print(json.dumps(write_bvgraph(spark, _load(spark, args), args.output)))
+    elif args.cmd == "analyze-bv":
+        from webgraph_rs_spark.bvgraph import analyze_codes
+
+        print(json.dumps(analyze_codes(args.input)))
     elif args.cmd == "stats":
         from webgraph_rs_spark.stats import graph_stats
 
