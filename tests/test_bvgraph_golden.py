@@ -254,6 +254,17 @@ def test_analyze_codes_matches_compressor_records(decoded_prefix):
         "bitspernode": 28.624,
     }
     assert {k: out[k] for k in want} == want
+    # the 20-bucket exponential gap histograms, 40 more pinned integers
+    assert out["residualexpstats"] == [
+        108927, 84647, 44166, 36932, 46551, 32420, 25074, 19244, 19463,
+        20741, 21880, 20784, 18799, 13237, 6404, 1705, 2875, 4232, 3124,
+        611,
+    ]
+    assert out["successorexpstats"] == [
+        2232567, 192413, 101723, 78903, 86825, 66745, 59116, 49458, 51851,
+        60901, 55054, 50966, 48420, 22077, 12427, 3153, 4827, 7478, 4679,
+        774,
+    ]
 
     out_t = analyze_codes(DATA + "-t")
     want_t = {

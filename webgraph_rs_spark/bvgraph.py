@@ -316,16 +316,36 @@ def decode_list_at(
             acct["intervalisedarcs"] += len(res) - n_before_intervals
     if left:
         p4 = r.pos
-        prev = x + nat2int(rd_res(r))
+        v0 = rd_res(r)
+        prev = x + nat2int(v0)
         res.append(prev)
+        if acct is not None:
+            _bump(acct["residualexpstats"], v0)
         for _ in range(1, left):
-            prev += 1 + rd_res(r)
+            g = rd_res(r)
+            prev += 1 + g
             res.append(prev)
+            if acct is not None:
+                # the Java gap stats record the UNDECREMENTED gap (g + 1)
+                _bump(acct["residualexpstats"], g + 1)
         if acct is not None:
             acct["bitsforresiduals"] += r.pos - p4
             acct["residualarcs"] += left
     res.sort()
+    if acct is not None and res:
+        # successor gap stats over the final sorted list: folded first
+        # offset, then plain consecutive differences
+        _bump(acct["successorexpstats"], int2nat(res[0] - x))
+        for a, b in zip(res, res[1:]):
+            _bump(acct["successorexpstats"], b - a)
     return res
+
+
+def _bump(hist: list, v: int) -> None:
+    """Exponential-bucket increment, Java stats semantics: values < 1 are
+    not recorded; bucket = floor(log2 v), clipped to the last bucket."""
+    if v >= 1:
+        hist[min(v.bit_length() - 1, len(hist) - 1)] += 1
 
 
 def decode_range(
@@ -512,6 +532,12 @@ def analyze_codes(basename: str) -> dict:
         "_ref_nonzero": 0,
         "_chain_sum": 0,
         "_last_ref": 0,
+        # 20 exponential buckets, Java stats semantics (see _bump): the
+        # residual stream records the folded first offset and the
+        # UNdecremented gaps; the successor stream records the folded
+        # first offset and plain consecutive differences
+        "residualexpstats": [0] * 20,
+        "successorexpstats": [0] * 20,
     }
     offsets = sequential_pass(data, props, acct)
     total_bits = int(offsets[-1])
