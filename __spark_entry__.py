@@ -833,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "frame_sample_meta",
                 "audio_features",
                 "rolling_fingerprints",
+                "duplicate_spans",
             )
         },
         **{
@@ -1248,6 +1249,31 @@ def _q_rolling_fp(spark, sf):
     # orderBy BEFORE limit: select the same 100 docs (smallest doc_ids) the
     # oracle's ORDER BY doc_id LIMIT 100 selects, under any partitioning
     return rolling_fingerprints(docs.orderBy("doc_id").limit(100), window=8)
+
+
+def _q_dup_spans(spark, sf):
+    """Cross-document duplicated token spans (substring-level dedup)."""
+    _import_engine()
+    from webgraph_rs_spark.textops.textstats import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return duplicate_spans(docs.orderBy("doc_id").limit(500), window=8)
+
+
+def _dup_spans_sql(window: int = 8, min_docs: int = 2) -> str:
+    toks = TOKS_SQL.format(col="text")
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500),
+tk AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM d),
+w AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i.i, i.i + {window} - 1), ' ') AS span
+  FROM tk, unnest(generate_series(1, len(t) - {window} + 1)) AS i(i)
+  WHERE len(t) >= {window}
+)
+SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs}
+"""
 
 
 def _minhash_sql() -> str:
@@ -1687,6 +1713,7 @@ _TEXTOPS_QUERIES = {
     "frame_sample_meta": _q_frame_sample,
     "audio_features": _q_audio_features,
     "rolling_fingerprints": _q_rolling_fp,
+    "duplicate_spans": _q_dup_spans,
 }
 
 
@@ -1724,6 +1751,7 @@ FROM documents
         "frame_sample_meta": _frame_sample_sql(),
         "audio_features": _audio_features_sql(),
         "rolling_fingerprints": _rolling_fp_sql(),
+        "duplicate_spans": _dup_spans_sql(),
     }
 
 

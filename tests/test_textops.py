@@ -301,6 +301,27 @@ def test_ivf_ann_recall_and_assignment(spark):
     assert rec2 == 1.0  # probing ALL cells = exact
 
 
+def test_duplicate_spans_cross_document(spark):
+    """Substring-level dedup: a span shared by >= min_docs distinct docs
+    is found; within-one-doc repeats and unique spans are not."""
+    from webgraph_rs_spark.textops import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy"
+    rows = [
+        (0, f"alpha beta {shared} gamma delta epsilon zeta eta"),
+        (1, f"one two three {shared} four five six seven"),
+        (2, "entirely unrelated words appear in this document body here"),
+        # same span twice WITHIN one doc only: must not count as cross-doc
+        (3, f"x1 x2 x3 x4 x5 x6 x7 x8 {'p q r s t u v w ' * 2}tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["span"]: r["n_docs"] for r in duplicate_spans(docs, window=8).collect()}
+    assert got.get(shared) == 2
+    assert all(n >= 2 for n in got.values())
+    # the within-doc repeat span is absent (distinct-doc count is 1)
+    assert "p q r s t u v w" not in got
+
+
 def test_ivf_kmeans_refinement_beats_seed_centroids(spark):
     """Lloyd refinement on a planted-cluster fixture: refined centroids
     must reduce quantization error vs the seed (smallest-id) centroids,

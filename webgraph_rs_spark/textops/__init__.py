@@ -13,6 +13,8 @@ from webgraph_rs_spark.textops.textstats import (  # noqa: F401
     quality_score,
     lang_id,
     fingerprint,
+    rolling_fingerprints,
+    duplicate_spans,
 )
 from webgraph_rs_spark.textops.dedup import (  # noqa: F401
     exact_dedup,

@@ -140,6 +140,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated token spans — the substring-level dedup
+    primitive of a training-data pipeline (the shape of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": find
+    repeated spans across the corpus, not just near-identical documents).
+
+    (span, n_docs) for every ``window``-token span occurring in at least
+    ``min_docs`` DISTINCT documents. Never all-pairs: candidates come
+    from a groupBy over the rolling fingerprints (8 bytes per position),
+    only hot hashes join back to the corpus, and the final grouping is
+    over the verified span TEXT so hash collisions cannot create false
+    positives. At 100 TB the fingerprint table is the only corpus-sized
+    intermediate, and it is a map-side projection of the documents."""
+    fps = rolling_fingerprints(df, window, text_col, id_col)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp")
+    )
+    cand = fps.join(hot, "fp", "left_semi")
+    toks = tokenize_col(F.col(text_col))
+    spans = cand.join(df.select(id_col, toks.alias("_t")), id_col).select(
+        id_col,
+        F.concat_ws(
+            " ", F.slice(F.col("_t"), F.col("pos") + 1, window)
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame, window: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
