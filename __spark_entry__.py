@@ -885,7 +885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_renumbered": _q_scc_renumbered,
         "sumsweep_radius_diameter": _q_sumsweep_rd,
         "sumsweep_ecc_all": _q_sumsweep_ecc,
-        "sumsweep_ecc_backward": _q_sumsweep_becc,
         "topo_levels": _q_topo,
         "intern_string_graph": _q_intern,
         "perm_compose": _q_perm_compose,

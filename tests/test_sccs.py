@@ -105,3 +105,35 @@ def test_scc_golden_pref_attach(spark):
         res.labels.groupBy("label").count().agg({"count": "max"}).collect()[0][0]
     )
     assert (got_n, got_giant) == (exp_n_comp, exp_giant)
+
+
+def test_restrict_broadcast_is_size_gated(spark, monkeypatch):
+    """The alive-set semi-joins must NOT broadcast once the alive set
+    exceeds BROADCAST_VERTEX_LIMIT (web-scale round 1: O(n) rows), and
+    the shuffled fallback must still key its final exchange on the
+    layout column so the persisted layout survives the restrict."""
+    from webgraph_rs_spark.algorithms import sccs as S
+
+    g = graph_from_pandas(spark, [(i, (i + 1) % 50) for i in range(50)], 50)
+    alive = g.vertices.select("id")
+
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="extended")
+        return buf.getvalue()
+
+    # small alive -> broadcast on both sides
+    plan_small = plan_of(S._restrict(g.edges, alive, "src", n_alive=50))
+    assert "broadcast" in plan_small.lower()
+
+    monkeypatch.setattr(S, "BROADCAST_VERTEX_LIMIT", 10)
+    plan_big = plan_of(S._restrict(g.edges, alive, "src", n_alive=50))
+    assert "BroadcastExchange" not in plan_big
+    assert "ShuffledHashJoin" in plan_big
+    # end-to-end SCC still correct under the shuffled fallback
+    res = S.strongly_connected_components(g)
+    assert res.labels.select("label").distinct().count() == 1

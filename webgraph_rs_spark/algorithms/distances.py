@@ -163,6 +163,10 @@ def radius_diameter(dist: DataFrame, vertices: DataFrame) -> tuple[int, int]:
 # ----------------------------------------------------------------- HyperBall
 
 HLL_LG_K = 11  # 2^11 registers/node (datasketches HLL): ~2.3% rel std err
+# largest accepted per-node seed weight for weighted HyperBall: seeding
+# explodes weight-many rows, so this bounds the row blowup to ~10^7 per
+# node and stays far under sequence()'s ~2^31 hard element limit
+MAX_SEED_WEIGHT = 10_000_000
 
 
 @dataclass
@@ -256,7 +260,22 @@ def hyperball(
     else:
         # weight-many distinct seed elements per node, hashed so element
         # sets never collide across nodes; weight 0 -> explode_outer keeps
-        # a null row and hll_sketch_agg ignores it (empty sketch)
+        # a null row and hll_sketch_agg ignores it (empty sketch).
+        # Guard: seeding is O(sum of weights) rows and Spark's sequence()
+        # hard-errors past ~2^31 elements with an opaque message — reject
+        # oversized weights up front with an actionable error instead.
+        bad = weights.filter(
+            (F.col("weight") < 0) | (F.col("weight") > MAX_SEED_WEIGHT)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"hyperball weights must be integers in [0, "
+                f"{MAX_SEED_WEIGHT}]: {bad} row(s) out of range. Seeding "
+                "materializes weight-many rows per node (explode of "
+                "sequence(1, w)); for heavier weights pre-scale them "
+                "(divide all weights by a common factor) — HLL estimates "
+                "are scale-free up to the shared factor."
+            )
         seeded = g.vertices.join(
             weights.select("id", F.col("weight").cast("long").alias("_w")),
             "id",

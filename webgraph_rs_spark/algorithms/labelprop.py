@@ -80,8 +80,9 @@ def label_propagation(
     improvement of the nodes that switched labels — drops to or below
     the threshold (reference MinGain, Java default 0.001); computing it
     adds one vertex-sized join + aggregate per round, paid only when
-    enabled. ``min_modified`` stops once fewer than that many nodes
-    changed (MinModified). Both compose with the fixpoint/MaxIter
+    enabled. ``min_modified`` stops once AT MOST that many nodes changed
+    (``modified <= min_modified``, matching the reference's MinModified
+    predicate). Both compose with the fixpoint/MaxIter
     predicates through the driver's predicate algebra.
     """
     spark = g.edges.sparkSession

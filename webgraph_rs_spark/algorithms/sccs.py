@@ -48,6 +48,11 @@ from webgraph_rs_spark.graph import LinkGraph
 
 COLOR_UNROLL = 4  # lazy propagation steps fused per checkpoint/job
 EXTRACT_UNROLL = 2  # lazy backward-BFS levels fused per checkpoint/job
+# broadcast a vertex-set side only while it is provably small; above this
+# the restrict falls back to shuffled-hash semi-joins (same gate CC and LP
+# use — components.py / labelprop.py). An unconditional F.broadcast hint
+# overrides Catalyst's size logic and OOMs the driver at web scale.
+BROADCAST_VERTEX_LIMIT = 1_000_000
 
 
 @dataclass
@@ -57,18 +62,41 @@ class SCCResult:
     metrics_history: list[dict] = field(default_factory=list)
 
 
-def _restrict(edges: DataFrame, alive: DataFrame) -> DataFrame:
-    """Edges with both endpoints alive (two broadcast semi-joins).
+def _gated(side: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast a vertex-set join side only while its known row count is
+    under BROADCAST_VERTEX_LIMIT; otherwise force a shuffled-hash join
+    (no sort-merge: the vertex side is always the small-ish one)."""
+    if n_rows is not None and n_rows <= BROADCAST_VERTEX_LIMIT:
+        return F.broadcast(side)
+    return side.hint("shuffle_hash")
 
-    Broadcasting the vertex set keeps the edge side's cached hash layout
-    intact (BroadcastHashJoin preserves child partitioning, so the
-    restricted table needs NO new shuffle). At a scale where the alive
-    set outgrows broadcast, swap for shuffled semi-joins + one
-    repartition — the per-iteration plans below are layout-agnostic."""
+
+def _restrict(
+    edges: DataFrame,
+    alive: DataFrame,
+    layout_key: str,
+    n_alive: int | None = None,
+) -> DataFrame:
+    """Edges with both endpoints alive (two semi-joins).
+
+    While the alive set is small (<= BROADCAST_VERTEX_LIMIT rows) both
+    semi-joins broadcast, which keeps the edge side's cached hash layout
+    intact (BroadcastHashJoin preserves child partitioning — the
+    restricted table needs NO new shuffle). Once the alive set outgrows
+    broadcast (round 1 of a web-scale graph: O(n) rows), both joins fall
+    back to shuffled-hash semi-joins; the join on the NON-layout key runs
+    first so the final exchange keys on ``layout_key`` and the restricted
+    table lands back in the layout the caller persists (by_src / by_dst).
+    """
+    other = "dst" if layout_key == "src" else "src"
     return edges.join(
-        F.broadcast(alive.withColumnRenamed("id", "src")), "src", "left_semi"
+        _gated(alive.withColumnRenamed("id", other), n_alive),
+        other,
+        "left_semi",
     ).join(
-        F.broadcast(alive.withColumnRenamed("id", "dst")), "dst", "left_semi"
+        _gated(alive.withColumnRenamed("id", layout_key), n_alive),
+        layout_key,
+        "left_semi",
     )
 
 
@@ -107,13 +135,13 @@ def strongly_connected_components(
     parts: list[DataFrame] = []  # label frames (views over held checkpoints)
     hold: list[DataFrame] = []  # checkpoints released after the final union
 
-    def _swap_edges(new_alive: DataFrame) -> None:
+    def _swap_edges(new_alive: DataFrame, n_new: int | None = None) -> None:
         """Re-restrict both layouts from base to new_alive, materialize,
         then drop the old round's cached tables."""
         nonlocal by_src, by_dst
         old_src, old_dst = by_src, by_dst
-        by_src = _restrict(base_src, new_alive).persist()
-        by_dst = _restrict(base_dst, new_alive).persist()
+        by_src = _restrict(base_src, new_alive, "src", n_new).persist()
+        by_dst = _restrict(base_dst, new_alive, "dst", n_new).persist()
         by_src.count()  # materialize before the old state goes away
         by_dst.count()
         if old_src is not base_src:
@@ -163,7 +191,7 @@ def strongly_connected_components(
             # degree deltas: only edges touching the dead frontier
             d_out = (
                 by_src.join(
-                    F.broadcast(dead.withColumnRenamed("id", "dst")),
+                    _gated(dead.withColumnRenamed("id", "dst"), n_dead),
                     "dst",
                     "left_semi",
                 )
@@ -172,7 +200,7 @@ def strongly_connected_components(
             )
             d_in = (
                 by_dst.join(
-                    F.broadcast(dead.withColumnRenamed("id", "src")),
+                    _gated(dead.withColumnRenamed("id", "src"), n_dead),
                     "src",
                     "left_semi",
                 )
@@ -199,7 +227,7 @@ def strongly_connected_components(
         if trimmed_total:
             old_alive = alive
             alive = deg.select("id").localCheckpoint()
-            _swap_edges(alive)
+            _swap_edges(alive, n_alive)
             release_state(old_alive)
         if deg is not None:
             release_state(deg)
@@ -325,7 +353,7 @@ def strongly_connected_components(
         alive = alive.join(member_ids, "id", "left_anti").localCheckpoint()
         n_alive = alive.count()
         if n_alive > 0:  # loop exits anyway when nothing is left
-            _swap_edges(alive)
+            _swap_edges(alive, n_alive)
         release_state(old_alive)
         release_state(member_ids)
         metrics.append({"round": rounds, "trimmed": trimmed_total,
