@@ -267,3 +267,44 @@ def test_hyperball_node_weights(spark):
     tot_est = sum(est.values())
     tot_true = sum(wreach.values())
     assert abs(tot_est - tot_true) / tot_true < 0.1
+
+
+def test_systolic_change_detection_probe(spark):
+    """Measured negative result pinned as a regression guard (r4 VERDICT
+    item 7): the systolic frontier keys on (full-double estimate,
+    serialized length) because Spark's datasketches surface exposes no
+    register digest. This probe unions a base sketch with hundreds of
+    singleton sketches in both the list/sparse regime (small base) and
+    the promoted dense regime (600-element base at lg_k=11) and asserts
+    every byte-level sketch change also moved the (estimate, length)
+    pair — i.e. the theoretical linear-counting-plateau collision does
+    not materialize on this datasketches build. If this ever fails, the
+    systolic frontier key has developed a real blind spot: revisit
+    hyperball's `moved` predicate."""
+    from pyspark.sql import functions as F
+
+    for lg_k, base_lo, base_n, cands in ((11, 10_000, 600, 400), (11, 50_000, 60, 400), (4, 1_000, 200, 200)):
+        base = spark.range(base_lo, base_lo + base_n).select(F.col("id").alias("v"))
+        S = bytes(base.agg(F.hll_sketch_agg("v", F.lit(lg_k)).alias("s")).collect()[0]["s"])
+        row = spark.createDataFrame([(S,)], "s binary").select(
+            F.hll_sketch_estimate("s").alias("e"), F.octet_length("s").alias("l")
+        ).collect()[0]
+        eS, lS = float(row["e"]), int(row["l"])
+        cand = spark.range(0, cands).select(F.col("id").alias("b"))
+        sk_b = cand.groupBy("b").agg(F.hll_sketch_agg("b", F.lit(lg_k)).alias("sb"))
+        stacked = sk_b.select("b", F.explode(F.array("sb", F.lit(S))).alias("sk"))
+        u = stacked.groupBy("b").agg(F.hll_union_agg("sk").alias("u"))
+        agg = u.select(
+            (~(F.col("u") == F.lit(S))
+             & (F.hll_sketch_estimate("u") == F.lit(eS))
+             & (F.octet_length("u") == F.lit(lS))).alias("missed"),
+            (~(F.col("u") == F.lit(S))).alias("changed"),
+        ).agg(
+            F.sum(F.when(F.col("missed"), 1).otherwise(0)).alias("m"),
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("c"),
+        ).collect()[0]
+        assert int(agg["c"]) > 0  # the probe actually exercised changes
+        assert int(agg["m"]) == 0, (
+            f"lg_k={lg_k}: {agg['m']} sketch changes invisible to the "
+            "(estimate, length) frontier key"
+        )

@@ -85,3 +85,43 @@ def test_triangles_ignore_direction_and_loops(spark):
     edges = [(0, 1), (1, 0), (2, 1), (0, 2), (3, 3)]
     g = graph_from_pandas(spark, edges, 4)
     assert triangle_count(g) == 1
+
+
+def test_half_damping_breaks_bipartite_oscillation(spark):
+    """Synchronous (Jacobi) majority-vote LP 2-cycles on complete
+    bipartite graphs: every left node adopts the right side's majority
+    label and vice versa, forever. The reference's asynchronous
+    randomized sweep (llp/mod.rs:301-311) cannot do this;
+    damping="half" is the synchronous analogue — it must reach a true
+    fixpoint (zero proposals) well before max_iter, and the undamped
+    run must demonstrate the oscillation this guards against."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.algorithms.labelprop import label_propagation
+
+    left, right = range(0, 6), range(6, 12)
+    edges = [(a, b) for a in left for b in right]
+    g = graph_from_pandas(spark, edges, 12)
+
+    undamped = label_propagation(g, max_iter=12)
+    assert undamped.metrics_history[-1]["modified"] > 0  # still flapping
+
+    damped = label_propagation(g, max_iter=40, damping="half")
+    assert damped.metrics_history[-1]["modified"] == 0
+    assert damped.iterations < 40
+    # fixpoint is a real labeling over the original label universe
+    labs = {r["label"] for r in damped.labels.collect()}
+    assert labs <= set(range(12)) and len(labs) >= 1
+
+
+def test_half_damping_matches_undamped_on_nonoscillating_graph(spark):
+    """On a graph where plain sync LP already converges, damping must
+    reach a fixpoint too (possibly a different, but valid, one) —
+    and gamma=0 semantics (majority vote) are preserved."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.algorithms.labelprop import label_propagation
+
+    # two triangles joined by one edge: clear community structure
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    g = graph_from_pandas(spark, edges, 6)
+    res = label_propagation(g, max_iter=30, damping="half")
+    assert res.metrics_history[-1]["modified"] == 0

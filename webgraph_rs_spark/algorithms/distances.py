@@ -201,19 +201,20 @@ def hyperball(
     frontier, broadcast while small); everyone else keeps their sketch.
     Deviation from the reference, documented: the reference tracks raw
     counter modifications; datasketches serialization is representation-
-    dependent (identical register content re-serializes differently, so
-    byte equality cannot detect register change), and the frontier here is
-    keyed on *estimate* changes instead. This is NOT merely "error within
-    the sketch sigma": a register bump whose estimate delta rounds away
-    (possible on the linear-counting plateau) stops propagating at that
-    node PERMANENTLY — on a long chain downstream of it the increment can
-    be lost entirely, an error mode the reference's modification-tracked
-    systolic mode does not have, and the tail-radius error it induces can
-    exceed the per-node sketch sigma on adversarial chain graphs. In
-    practice the estimate is a double computed from all registers, so a
-    plateau-exact collision is rare, and the convergence metrics
-    (``rel_grow``) bound the *global* mass lost per round; callers that
-    need the reference's exact systolic semantics should set
+    dependent (identical register content can re-serialize differently
+    after different union orders, so byte EQUALITY cannot detect register
+    change), and the frontier here is keyed on the pair (estimate at full
+    double precision, serialized byte LENGTH) — a node re-enters the
+    frontier when either moved. Length catches sparse-mode coupon growth
+    whose estimate delta would round away; the residual hole is a
+    dense-mode register bump that leaves both the composite estimate
+    (possible on the linear-counting plateau, where the estimate depends
+    only on the zero-register count) and the byte length unchanged — that
+    increment stops propagating PERMANENTLY, an error mode the
+    reference's modification-tracked systolic mode does not have. A true
+    register digest is not expressible over Spark's datasketches surface
+    (only estimate/union/agg are exposed); callers that need the
+    reference's exact systolic semantics should set
     ``systolic_threshold=0.0`` (dense recompute every round — same
     estimates, no frontier shortcut).
 
@@ -305,6 +306,7 @@ def hyperball(
     acc = state.select(
         "id",
         F.hll_sketch_estimate("sketch").cast("double").alias("reachable_est"),
+        F.octet_length("sketch").cast("long").alias("sk_len"),
         F.lit(0.0).alias("sum_dist_est"),
         F.lit(0.0).alias("harmonic_est"),
         *[F.lit(0.0).alias(f"{name}_est") for name in discounts],
@@ -341,23 +343,41 @@ def hyperball(
             .localCheckpoint()
         )
         rb = recomputed.select(
-            "id", F.hll_sketch_estimate("sketch").cast("double").alias("nb")
+            "id",
+            F.hll_sketch_estimate("sketch").cast("double").alias("nb"),
+            F.octet_length("sketch").cast("long").alias("nlen"),
         )
         inc = (
-            rb.join(acc.select("id", F.col("reachable_est").alias("b")), "id")
+            rb.join(
+                acc.select(
+                    "id",
+                    F.col("reachable_est").alias("b"),
+                    F.col("sk_len").alias("slen"),
+                ),
+                "id",
+            )
             .select(
                 "id",
                 "nb",
+                "nlen",
                 F.greatest(F.col("nb") - F.col("b"), F.lit(0.0)).alias("inc"),
+                # frontier key: full-double estimate AND serialized length
+                # (catches sparse-mode coupon growth whose estimate delta
+                # rounds away; see docstring for the residual dense-mode
+                # caveat) — the closest register-modification proxy
+                # Spark's datasketches surface exposes
+                (
+                    (F.col("nb") != F.col("b")) | (F.col("nlen") != F.col("slen"))
+                ).alias("moved"),
             )
             .localCheckpoint()
         )
         row = inc.agg(
             F.sum("inc").alias("g"),
-            F.sum(F.when(F.col("inc") > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("moved"), 1).otherwise(0)).alias("c"),
         ).collect()[0]
         grew_abs = float(row["g"] or 0.0)
-        new_changed = inc.filter(F.col("inc") > 0).select("id").localCheckpoint()
+        new_changed = inc.filter(F.col("moved")).select("id").localCheckpoint()
         release_state(changed)
         changed = new_changed
         n_changed = int(row["c"] or 0)
@@ -376,10 +396,11 @@ def hyperball(
 
         old_acc = acc
         acc = (
-            acc.join(inc.select("id", "nb", "inc"), "id", "left")
+            acc.join(inc.select("id", "nb", "nlen", "inc"), "id", "left")
             .select(
                 "id",
                 F.coalesce("nb", F.col("reachable_est")).alias("reachable_est"),
+                F.coalesce("nlen", F.col("sk_len")).alias("sk_len"),
                 (
                     F.col("sum_dist_est") + F.coalesce("inc", F.lit(0.0)) * t
                 ).alias("sum_dist_est"),

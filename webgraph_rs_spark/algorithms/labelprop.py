@@ -66,6 +66,7 @@ def label_propagation(
     resume: bool = True,
     min_gain: float | None = None,
     min_modified: int | None = None,
+    damping: str | None = None,
 ) -> LPResult:
     """Run synchronous label propagation until stable or ``max_iter``.
 
@@ -84,6 +85,15 @@ def label_propagation(
     (``modified <= min_modified``, matching the reference's MinModified
     predicate). Both compose with the fixpoint/MaxIter
     predicates through the driver's predicate algebra.
+
+    ``damping="half"`` adopts only a seeded-hash half of each round's
+    label proposals (alternating by round), breaking the 2-cycles a
+    synchronous sweep can fall into on bipartite structure — the role
+    the reference's randomized asynchronous visit order plays
+    (``llp/mod.rs:301-311``). With damping on, the ``modified`` metric
+    counts PROPOSALS (nodes that wanted to change), so the fixpoint
+    test remains sound; blocked nodes are carried in the frontier so
+    they re-evaluate even if their neighborhood goes quiet.
     """
     spark = g.edges.sparkSession
     edges = _sym_edges(g) if symmetrize else g.edges
@@ -92,9 +102,13 @@ def label_propagation(
     n_vertices = g.num_nodes
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
+    if damping not in (None, "half"):
+        raise ValueError(f"unknown damping mode {damping!r}")
     # round k still reads round k-1's frontier — release two rounds later
     cache_rounds: list[list[DataFrame]] = []
-    frontier: dict = {"df": None, "n": None}  # changed ids from last round
+    # changed ids from last round; "gated" = nodes whose proposal was
+    # damped away (they must re-evaluate even with a quiet neighborhood)
+    frontier: dict = {"df": None, "n": None, "gated": None}
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
         while len(cache_rounds) > 1:
@@ -120,6 +134,10 @@ def label_propagation(
                 .select(F.col("dst"))
                 .distinct()
             )
+            if frontier["gated"] is not None:
+                affected = affected.unionByName(
+                    frontier["gated"].withColumnRenamed("id", "dst")
+                ).distinct()
             # affected is bounded by the frontier's out-neighborhood —
             # broadcast only while the frontier itself is small
             if frontier["n"] is not None and frontier["n"] <= 100_000:
@@ -150,24 +168,50 @@ def label_propagation(
                 F.col("score").alias("_nsc"),
             )
         )
+        proposed = F.coalesce("new_label", F.col("label"))
+        if damping == "half":
+            # half-frontier damping: a seeded-hash half of the proposals
+            # is adopted per round (the hash alternates with the round
+            # number, so a blocked node gets the next chance) — the
+            # synchronous analogue of the reference's randomized
+            # asynchronous visit order (llp/mod.rs:301-311), which cannot
+            # 2-cycle on bipartite structure the way a pure Jacobi sweep
+            # can
+            gate = F.pmod(F.xxhash64(F.col("id"), F.lit(int(it))), F.lit(2)) == 0
+            adopted = F.when(gate, proposed).otherwise(F.col("label"))
+        else:
+            adopted = proposed
         new = (
             state.join(best.select("id", "new_label"), "id", "left")
             .select(
                 "id",
-                F.coalesce("new_label", F.col("label")).alias("label"),
-                (F.coalesce("new_label", F.col("label")) != F.col("label")).alias(
-                    "_chg"
-                ),
+                adopted.alias("label"),
+                (adopted != F.col("label")).alias("_chg"),
+                (proposed != F.col("label")).alias("_prop"),
             )
         ).persist()
         # localCheckpoint: the frontier crosses rounds outside the driver's
         # state truncation — without it the plan tree doubles per round
         changed = new.filter(F.col("_chg")).select("id").localCheckpoint()
-        cache_rounds.append([new, changed])
-        modified = changed.count()
-        frontier["df"] = changed if modified > 0 else None
-        frontier["n"] = modified
-        metrics = {"modified": modified, "frontier_rows": modified}
+        gated = None
+        if damping == "half":
+            gated = (
+                new.filter(F.col("_prop") & ~F.col("_chg"))
+                .select("id")
+                .localCheckpoint()
+            )
+        cache_rounds.append([new, changed] + ([gated] if gated is not None else []))
+        n_changed = changed.count()
+        # under damping, "modified" counts PROPOSALS (wanted-to-change):
+        # stopping on adoptions alone would mistake a fully-gated round
+        # for the fixpoint
+        modified = n_changed if gated is None else n_changed + gated.count()
+        frontier["df"] = changed if n_changed > 0 else None
+        frontier["n"] = n_changed
+        frontier["gated"] = (
+            gated if gated is not None and modified > n_changed else None
+        )
+        metrics = {"modified": modified, "frontier_rows": n_changed}
         if min_gain is not None:
             # objective gain of this round: sum over switched nodes of
             # (new best score - old label's score under the same counts).

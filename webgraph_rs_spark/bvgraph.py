@@ -15,6 +15,12 @@ gamma-coded stream of per-node bit-offset gaps. Default codes
 (``comp/flags.rs:45-49``): outdegrees/blocks/intervals GAMMA, references
 UNARY, residuals ZETA(k); Java-produced files are big-endian.
 
+The encoder side (:func:`write_bvgraph`) implements the full greedy
+Boldi-Vigna compressor — windowed reference selection, copy blocks,
+intervalization — and reproduces the shipped cnr-2000 bitstream
+bit-for-bit at the reference's default parameters (see
+tests/test_bvgraph_golden.py::test_windowed_compressor_bit_identical_cnr2000).
+
 Spark mapping — this is a custom *source*, the one place per-partition
 imperative logic is warranted: the driver decodes the (tiny) offsets
 stream, splits the node domain into ranges balanced by compressed BITS
@@ -101,6 +107,48 @@ class BitReader:
         return ((1 << h) | self.read_bits(h)) - 1
 
 
+class LEBitReader(BitReader):
+    """LSB-first bit reader — the little-endian flavor produced by
+    webgraph-rs / ε-serde toolchains (``endianness=little`` in
+    ``.properties``; dispatch: ``load.rs:734-766``, names from
+    dsi-bitstream's ``BE::NAME``/``LE::NAME`` = "big"/"little").
+
+    Convention (the natural LE mirror): bit ``i`` of the stream is bit
+    ``i & 7`` of byte ``i >> 3`` counting from the LSB, and
+    ``read_bits(k)`` returns the first-read bit in the least-significant
+    position. Instantaneous-code formulas (gamma/delta/zeta) are shared
+    with the BE reader via inheritance — only the two bit primitives
+    differ. Validated by writer/reader self-roundtrip (the format is
+    self-describing; no LE reference data ships with the reference, so
+    codeword-level parity with dsi-bitstream's LE minimal-binary split
+    is asserted only through our own writer)."""
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        p = self.pos
+        self.pos = p + k
+        start = p >> 3
+        end = (p + k + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "little")
+        return (chunk >> (p & 7)) & ((1 << k) - 1)
+
+    def read_unary(self) -> int:
+        data = self.data
+        p = self.pos
+        n = 0
+        while True:
+            byte_i = p >> 3
+            bit_off = p & 7
+            cur = data[byte_i] >> bit_off
+            if cur:
+                tz = (cur & -cur).bit_length() - 1  # trailing zeros
+                self.pos = (byte_i << 3) + bit_off + tz + 1
+                return n + tz
+            n += 8 - bit_off
+            p = (byte_i + 1) << 3
+
+
 def nat2int(n: int) -> int:
     """Inverse of the standard nonneg<->int bijection (0,-1,1,-2,2,...)."""
     return (n >> 1) ^ -(n & 1)
@@ -130,17 +178,31 @@ class BvProperties:
     min_interval_length: int
     zeta_k: int
     codes: dict = None  # field -> code name, per _FIELDS
+    endianness: str = "big"  # "big" (Java) | "little" (webgraph-rs)
+
+    def new_reader(self, data: bytes, pos: int = 0) -> "BitReader":
+        """Bit reader of the manifest's endianness (``load.rs:734-766``
+        dispatch)."""
+        cls = BitReader if self.endianness == "big" else LEBitReader
+        return cls(data, pos)
+
+    def new_writer(self) -> "BitWriter":
+        cls = BitWriter if self.endianness == "big" else LEBitWriter
+        return cls()
 
     def reader_for(self, field: str):
-        """Return an unbound read method for the field's code."""
+        """Return an unbound read method for the field's code, taken from
+        the endianness-correct reader class (grabbing ``BitReader``'s
+        methods unconditionally would run BE ``read_unary`` on LE data)."""
         code = (self.codes or _FIELDS)[field]
         k = self.zeta_k
+        rcls = BitReader if self.endianness == "big" else LEBitReader
         if code == "GAMMA":
-            return BitReader.read_gamma
+            return rcls.read_gamma
         if code == "UNARY":
-            return BitReader.read_unary
+            return rcls.read_unary
         if code == "DELTA":
-            return BitReader.read_delta
+            return rcls.read_delta
         if code == "ZETA":
             return lambda r: r.read_zeta(k)
         raise NotImplementedError(code)  # pragma: no cover
@@ -162,6 +224,39 @@ class BvProperties:
                 )
             )
             object.__setattr__(self, "_readers", cached)
+        return cached
+
+    def writer_for(self, field: str):
+        """Unbound write method ``f(writer, value)`` for the field's code
+        (works for both :class:`BitWriter` and :class:`BitCounter`)."""
+        code = (self.codes or _FIELDS)[field]
+        k = self.zeta_k
+        if code == "GAMMA":
+            return lambda w, v: w.write_gamma(v)
+        if code == "UNARY":
+            return lambda w, v: w.write_unary(v)
+        if code == "DELTA":
+            return lambda w, v: w.write_delta(v)
+        if code == "ZETA":
+            return lambda w, v: w.write_zeta(v, k)
+        raise NotImplementedError(code)  # pragma: no cover
+
+    def writers(self):
+        """(outdegree, reference, block, interval, residual) write
+        functions, bound once — mirror of :meth:`readers`."""
+        cached = getattr(self, "_writers", None)
+        if cached is None:
+            cached = tuple(
+                self.writer_for(f)
+                for f in (
+                    "OUTDEGREES",
+                    "REFERENCES",
+                    "BLOCKS",
+                    "INTERVALS",
+                    "RESIDUALS",
+                )
+            )
+            object.__setattr__(self, "_writers", cached)
         return cached
 
 
@@ -195,6 +290,9 @@ def read_properties(path: str) -> BvProperties:
                     f"unsupported compression flag {token!r}"
                 )
             codes[field.upper()] = code
+    endianness = kv.get("endianness", "big")  # absent in Java manifests
+    if endianness not in ("big", "little"):
+        raise NotImplementedError(f"unsupported endianness {endianness!r}")
     return BvProperties(
         nodes=int(kv["nodes"]),
         arcs=int(kv["arcs"]),
@@ -203,13 +301,17 @@ def read_properties(path: str) -> BvProperties:
         min_interval_length=int(kv.get("minintervallength", 4)),
         zeta_k=int(kv.get("zetak", 3)),
         codes=codes,
+        endianness=endianness,
     )
 
 
-def decode_offsets(offsets_bytes: bytes, n: int) -> np.ndarray:
+def decode_offsets(
+    offsets_bytes: bytes, n: int, endianness: str = "big"
+) -> np.ndarray:
     """n+1 absolute bit offsets from the gamma-coded gap stream
-    (``mod.rs:120-128``: first gap 0, one trailing end-of-graph offset)."""
-    r = BitReader(offsets_bytes)
+    (``mod.rs:120-128``: first gap 0, one trailing end-of-graph offset).
+    The offsets stream shares the graph stream's endianness."""
+    r = (BitReader if endianness == "big" else LEBitReader)(offsets_bytes)
     out = np.empty(n + 1, dtype=np.int64)
     acc = 0
     for i in range(n + 1):
@@ -223,16 +325,20 @@ def decode_offsets(offsets_bytes: bytes, n: int) -> np.ndarray:
 
 def decode_successors(
     data: bytes,
-    offsets: np.ndarray,
+    offsets,
     x: int,
     props: BvProperties,
     resolve,
+    bit_base: int = 0,
 ) -> list[int]:
     """Decode node ``x``'s successor list; ``resolve(y)`` returns the
     already-decoded list of an earlier node for the reference part.
+    ``offsets`` is anything indexable by node id; ``bit_base`` is the
+    absolute bit position of ``data[0]`` — nonzero when ``data`` is a
+    byte-range slice of the file rather than the whole file.
     Mirrors ``sequential.rs:300-385``."""
     return decode_list_at(
-        BitReader(data, int(offsets[x])), x, props, resolve
+        props.new_reader(data, int(offsets[x]) - bit_base), x, props, resolve
     )
 
 
@@ -349,19 +455,24 @@ def _bump(hist: list, v: int) -> None:
 
 
 def decode_range(
-    data: bytes, offsets: np.ndarray, lo: int, hi: int, props: BvProperties
+    data: bytes, offsets, lo: int, hi: int, props: BvProperties,
+    bit_base: int = 0,
 ):
     """Yield (node, successors) for nodes in [lo, hi).
 
     Backward references resolve recursively (depth <= maxrefcount, the
     compressor's chain bound) with a cache evicted behind the sliding
-    window, so memory stays O(window + window*maxrefcount) lists."""
+    window, so memory stays O(window + window*maxrefcount) lists.
+    ``bit_base`` positions a byte-range slice (see
+    :func:`decode_successors`); references reach back at most
+    ``window_size * max_ref_count`` nodes, so a slice starting at that
+    seed depth before ``lo`` is always self-sufficient."""
     cache: dict[int, list[int]] = {}
 
     def resolve(y: int) -> list[int]:
         got = cache.get(y)
         if got is None:
-            got = decode_successors(data, offsets, y, props, resolve)
+            got = decode_successors(data, offsets, y, props, resolve, bit_base)
             cache[y] = got
         return got
 
@@ -390,6 +501,52 @@ def _balanced_ranges(offsets: np.ndarray, n: int, parts: int) -> list[tuple[int,
 # ------------------------------------------------------------ spark source
 
 
+class _SliceOffsets:
+    """Node-id-indexed view over an offsets slice starting at node
+    ``base`` — lets :func:`decode_range` keep absolute node indexing
+    while each task holds only its own slice of the index."""
+
+    __slots__ = ("arr", "base")
+
+    def __init__(self, arr, base: int):
+        self.arr = arr
+        self.base = base
+
+    def __getitem__(self, x: int) -> int:
+        return self.arr[x - self.base]
+
+
+def _decode_offsets_task(spark: SparkSession, basename: str, n: int) -> np.ndarray:
+    """Decode the ``.offsets`` gamma stream (or rebuild it from the graph
+    stream when the file is missing) in ONE executor task instead of the
+    driver — the driver never runs a per-node Python loop and never opens
+    ``.graph``. The returned n+1 int64 array is the per-file index the
+    driver keeps for range planning (8 bytes/node, the documented
+    per-file driver-side footprint)."""
+
+    def work(pdf_iter):
+        import pandas as pd
+
+        for _ in pdf_iter:
+            props_t = read_properties(basename + ".properties")
+            if os.path.exists(basename + ".offsets"):
+                with open(basename + ".offsets", "rb") as f:
+                    arr = decode_offsets(f.read(), n, props_t.endianness)
+            else:
+                # `build offsets` fallback: one sequential pass over the
+                # bitstream (cli/src/build/offsets.rs)
+                with open(basename + ".graph", "rb") as f:
+                    arr = sequential_pass(f.read(), props_t)
+            yield pd.DataFrame({"blob": [arr.tobytes()]})
+
+    blob = (
+        spark.range(1)
+        .mapInPandas(work, "blob binary")
+        .collect()[0]["blob"]
+    )
+    return np.frombuffer(bytes(blob), dtype=np.int64)
+
+
 def read_bvgraph(
     spark: SparkSession,
     basename: str,
@@ -398,48 +555,72 @@ def read_bvgraph(
 ) -> LinkGraph:
     """Load a BVGraph basename as a :class:`LinkGraph`.
 
-    Driver side: parse ``.properties``, decode the ``.offsets`` gap
-    stream, split the node domain into bit-balanced ranges. Executor
-    side: each range decodes independently (``mapInPandas``, Arrow
-    batches out), seeding cross-boundary references via random access.
-    The ~MB-scale bitstream + offsets ship as a broadcast here; at real
-    scale the tasks would range-read the file instead — the plan shape
-    (driver index, bit-balanced ranges, map-only decode, one shuffle
-    into the canonical src-partitioned layout) is unchanged.
+    Driver side: parse ``.properties`` and split the node domain into
+    bit-balanced ranges using the offsets index (decoded in an executor
+    task — the driver never reads ``.graph`` bytes and runs no per-node
+    loop). Executor side: each range task opens the file itself and
+    reads ONLY its byte range ``[offsets[seed]/8 .. offsets[hi]/8)``
+    where ``seed = lo - window_size*max_ref_count`` (the deepest a
+    reference chain can reach back), decodes independently, and emits
+    Arrow batches (``mapInPandas``). Each task's slice of the offsets
+    index travels IN the ranges DataFrame — there is no broadcast of any
+    kind, so nothing in the plan scales with file size on the driver; at
+    object-store scale the per-task ``open`` + ``seek`` becomes a ranged
+    GET and the plan is unchanged. One shuffle lands the edges in the
+    canonical hash(src) parquet layout every downstream query reuses.
     """
     import pandas as pd
 
     props = read_properties(basename + ".properties")
     n = props.nodes
-    with open(basename + ".graph", "rb") as f:
-        data = f.read()
-    if os.path.exists(basename + ".offsets"):
-        with open(basename + ".offsets", "rb") as f:
-            offsets = decode_offsets(f.read(), n)
-    else:
-        # `build offsets` fallback: one sequential driver-side pass over
-        # the bitstream (cli/src/build/offsets.rs)
-        offsets = build_offsets(data, props)
+    if n == 0:
+        # degenerate basename: no ranges to decode (repartition(0) would
+        # throw), return the empty graph directly
+        edges = spark.createDataFrame([], "src long, dst long")
+        return LinkGraph(edges, spark.range(0).select("id"), _num_nodes=0, _num_arcs=0)
+    offsets = _decode_offsets_task(spark, basename, n)
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranges = _balanced_ranges(offsets, n, parts)
-    b_data = spark.sparkContext.broadcast(data)
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
+    lookback = props.window_size * props.max_ref_count
+    rows = []
+    for lo, hi in ranges:
+        seed = max(0, lo - lookback)
+        byte_start = int(offsets[seed]) >> 3
+        rows.append(
+            (
+                int(lo),
+                int(hi),
+                int(seed),
+                int(byte_start),
+                # the task's slice of the index: offsets[seed..hi] (it
+                # never reads past the START of its last list)
+                [int(v) for v in offsets[seed : hi + 1]],
+            )
+        )
     ranges_df = spark.createDataFrame(
-        [(int(lo), int(hi)) for lo, hi in ranges], "lo long, hi long"
-    ).repartition(len(ranges))
+        rows, "lo long, hi long, seed long, byte_start long, offs array<long>"
+    ).repartition(max(1, len(rows)))
 
     def decode_batches(pdf_iter):
-        data_l = b_data.value
-        offs_l = b_offsets.value
         for pdf in pdf_iter:
-            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+            for lo, hi, seed, byte_start, offs in zip(
+                pdf["lo"], pdf["hi"], pdf["seed"], pdf["byte_start"], pdf["offs"]
+            ):
+                lo, hi, seed, byte_start = int(lo), int(hi), int(seed), int(byte_start)
+                offs = np.asarray(offs, dtype=np.int64)
+                # end of the range's bits = start offset of node hi (or
+                # EOF bits for the last range): offs[-1] is offsets[hi]
+                byte_end = (int(offs[-1]) + 7) >> 3
+                with open(basename + ".graph", "rb") as f:
+                    f.seek(byte_start)
+                    data_l = f.read(byte_end - byte_start)
+                sliced = _SliceOffsets(offs, seed)
                 src_acc: list[np.ndarray] = []
                 dst_acc: list[np.ndarray] = []
                 acc = 0
                 for x, succs in decode_range(
-                    data_l, offs_l, int(lo), int(hi), props
+                    data_l, sliced, lo, hi, props, bit_base=byte_start << 3
                 ):
                     if not succs:
                         continue
@@ -479,7 +660,7 @@ def sequential_pass(
     (``cli/src/build/offsets.rs``) and the substrate of ``analyze
     codes`` (``cli/src/analyze/codes.rs``)."""
     n = props.nodes
-    r = BitReader(data, 0)
+    r = props.new_reader(data, 0)
     offsets = np.empty(n + 1, dtype=np.int64)
     window: dict[int, list[int]] = {}
     w = props.window_size
@@ -607,10 +788,89 @@ class BitWriter:
         else:
             self.write_bits(x, h * k + k)
 
+    def write_delta(self, n: int) -> None:
+        w = n + 1
+        b = w.bit_length() - 1
+        self.write_gamma(b)
+        self.write_bits(w - (1 << b), b)
+
     def to_bytes(self) -> bytes:
         out = bytes(self.buf)
         if self.nacc:
             out += bytes([(self.acc << (8 - self.nacc)) & 0xFF])
+        return out
+
+
+class BitCounter:
+    """Cost estimator with the :class:`BitWriter` interface — counts bits
+    without materializing them (the reference's mock estimator encoder,
+    ``bvcomp.rs:470-478``: candidate encodings are costed, only the
+    winner is actually written)."""
+
+    __slots__ = ("bits",)
+
+    def __init__(self):
+        self.bits = 0
+
+    def write_bits(self, v: int, k: int) -> None:
+        self.bits += k
+
+    def write_unary(self, n: int) -> None:
+        self.bits += n + 1
+
+    def write_gamma(self, n: int) -> None:
+        self.bits += 2 * (n + 1).bit_length() - 1
+
+    def write_zeta(self, n: int, k: int) -> None:
+        x = n + 1
+        h = (x.bit_length() - 1) // k
+        self.bits += h + 1 + (h * k + k - 1 if x - (1 << (h * k)) < (1 << (h * k)) else h * k + k)
+
+    def write_delta(self, n: int) -> None:
+        b = (n + 1).bit_length() - 1
+        self.bits += 2 * (b + 1).bit_length() - 1 + b
+
+
+class LEBitWriter(BitWriter):
+    """LSB-first bit writer (mirror of :class:`LEBitReader`). Gamma and
+    delta are inherited (their subfields roundtrip through the LE bit
+    primitives unchanged); unary and zeta need LE-specific bit order."""
+
+    def write_bits(self, v: int, k: int) -> None:
+        if k == 0:
+            return
+        self.acc |= (v & ((1 << k) - 1)) << self.nacc
+        self.nacc += k
+        self.bits += k
+        while self.nacc >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nacc -= 8
+
+    def write_unary(self, n: int) -> None:
+        while n >= 32:
+            self.write_bits(0, 32)
+            n -= 32
+        self.write_bits(1 << n, n + 1)  # LSB-first: n zeros, then the 1
+
+    def write_zeta(self, n: int, k: int) -> None:
+        # long codewords are emitted as (x >> 1, then the low bit) so the
+        # shared read_zeta — which reads h*k+k-1 bits, tests m < left,
+        # then reads the trailing bit — stays valid in LE bit order
+        x = n + 1
+        h = (x.bit_length() - 1) // k
+        self.write_unary(h)
+        left = 1 << (h * k)
+        if x - left < left:
+            self.write_bits(x - left, h * k + k - 1)
+        else:
+            self.write_bits(x >> 1, h * k + k - 1)
+            self.write_bits(x & 1, 1)
+
+    def to_bytes(self) -> bytes:
+        out = bytes(self.buf)
+        if self.nacc:
+            out += bytes([self.acc & 0xFF])
         return out
 
 
@@ -652,26 +912,245 @@ def encode_range(lo: int, hi: int, groups: dict, zeta_k: int = 3):
     return w.to_bytes(), w.bits, sizes
 
 
+# ---------------------------------------------- windowed (real) compression
+
+
+def _diff_blocks(succ_set: set, parent: list) -> tuple[list, list]:
+    """Copy-block run lengths + leftover extras of encoding ``succs``
+    against ``parent`` (the reference's ``diff_comp``,
+    ``comp/bvcomp.rs:309-390``): every element of ``parent`` present in
+    the successor set is copied; runs of copied/skipped parent elements
+    alternate starting with a (possibly empty) copy run; the trailing run
+    is implicit (the decoder copies the parent tail iff the block count
+    is even). Returns (run lengths with the trailing run dropped,
+    copied elements as a set-for-subtraction list)."""
+    runs: list[int] = []
+    cur = 0
+    copying = True
+    copied: list[int] = []
+    for p in parent:
+        hit = p in succ_set
+        if hit:
+            copied.append(p)
+        if hit == copying:
+            cur += 1
+        else:
+            runs.append(cur)
+            copying = hit
+            cur = 1
+    # drop the trailing run: decoder infers it from block-count parity
+    return runs, copied
+
+
+def _intervalize(extras: list, min_len: int) -> tuple[list, list]:
+    """Maximal runs of consecutive ints with length >= min_len become
+    (start, len) intervals; the rest are residuals (``bvcomp.rs:279-305``)."""
+    ivals: list[tuple[int, int]] = []
+    resid: list[int] = []
+    i, n = 0, len(extras)
+    while i < n:
+        j = i
+        while j + 1 < n and extras[j + 1] == extras[j] + 1:
+            j += 1
+        ln = j - i + 1
+        if ln >= min_len:
+            ivals.append((extras[i], ln))
+        else:
+            resid.extend(extras[i : j + 1])
+        i = j + 1
+    return ivals, resid
+
+
+def _emit_list(w, x: int, succs: list, ref: int, parent, props: BvProperties):
+    """Write (or cost, if ``w`` is a :class:`BitCounter`) one successor
+    list in full BV form — outdegree, reference, copy blocks, intervals,
+    residuals — mirroring ``Compressor::write`` (``bvcomp.rs:170-236``);
+    the field layout is the exact inverse of :func:`decode_list_at`."""
+    wr_out, wr_ref, wr_blk, wr_int, wr_res = props.writers()
+    d = len(succs)
+    wr_out(w, d)
+    if d == 0:
+        return
+    rest = succs
+    if props.window_size > 0:
+        wr_ref(w, ref)
+        if ref > 0:
+            runs, copied = _diff_blocks(set(succs), parent)
+            wr_blk(w, len(runs))
+            for i, b in enumerate(runs):
+                # first block verbatim, later blocks stored minus 1
+                wr_blk(w, b if i == 0 else b - 1)
+            cset = set(copied)
+            rest = [s for s in succs if s not in cset]
+    left = len(rest)
+    if left and props.min_interval_length:
+        ivals, resid = _intervalize(rest, props.min_interval_length)
+        wr_int(w, len(ivals))
+        prev_end = None
+        for st, ln in ivals:
+            if prev_end is None:
+                wr_int(w, int2nat(st - x))
+            else:
+                wr_int(w, st - prev_end - 1)
+            wr_int(w, ln - props.min_interval_length)
+            prev_end = st + ln
+        rest = resid
+    if rest:
+        prev = None
+        for s in rest:
+            if prev is None:
+                wr_res(w, int2nat(s - x))
+            else:
+                wr_res(w, s - prev - 1)
+            prev = s
+
+
+def encode_range_bv(
+    lo: int, hi: int, groups: dict, props: BvProperties
+) -> tuple[bytes, int, list, dict]:
+    """Encode nodes [lo, hi) with the REAL Boldi-Vigna greedy compressor
+    (``BvComp::push``, ``comp/bvcomp.rs:428-540``): for each node, cost
+    the no-reference encoding and every candidate reference among the
+    previous ``window_size`` nodes (skipping empty parents and parents
+    whose reference chain is already ``max_ref_count`` deep), write the
+    strictly cheapest (ties keep the nearest delta, as the reference's
+    ``bits < min_bits`` ascending scan does).
+
+    References never reach before ``lo`` — each range starts a fresh
+    window, the same truncation the reference's own parallel compressor
+    applies at chunk starts (``start_node``, ``bvcomp.rs:483-485``) —
+    which is what makes ranges encodable independently in parallel.
+
+    Returns (payload bytes, bit length, per-node bit sizes, stats with
+    the reference's tot_ref/tot_dist accumulators)."""
+    w = props.new_writer()
+    sizes: list[int] = []
+    window: dict[int, list] = {}
+    chains: dict[int, int] = {}
+    win, maxref = props.window_size, props.max_ref_count
+    tot_ref = tot_dist = 0
+    for x in range(lo, hi):
+        succs = groups.get(x)
+        succs = list(succs) if succs is not None else []
+        best_ref = 0
+        if succs and win > 0:
+            c = BitCounter()
+            _emit_list(c, x, succs, 0, None, props)
+            best = c.bits
+            for delta in range(1, min(win, x - lo) + 1):
+                y = x - delta
+                if chains[y] >= maxref:
+                    continue
+                parent = window[y]
+                if not parent:
+                    continue
+                c = BitCounter()
+                _emit_list(c, x, succs, delta, parent, props)
+                if c.bits < best:
+                    best = c.bits
+                    best_ref = delta
+        before = w.bits
+        _emit_list(
+            w, x, succs, best_ref, window.get(x - best_ref), props
+        )
+        sizes.append(w.bits - before)
+        if win > 0:
+            window[x] = succs
+            chains[x] = 0 if best_ref == 0 else chains[x - best_ref] + 1
+            window.pop(x - win, None)
+            chains.pop(x - win, None)
+        tot_ref += chains.get(x, 0)
+        tot_dist += best_ref
+    return w.to_bytes(), w.bits, sizes, {"tot_ref": tot_ref, "tot_dist": tot_dist}
+
+
+class StreamStitcher:
+    """Append bit-payloads to a byte stream with an 8-bit-boundary carry —
+    O(len(payload)) per append and O(1) state, replacing the old
+    whole-graph driver bignum (which re-copied the accumulated stream on
+    every chunk: O(P * total_bits)). Endianness-aware: BE payloads carry
+    their partial byte at the bottom of the bignum, LE at the top."""
+
+    __slots__ = ("f", "carry", "carry_bits", "bits", "endianness")
+
+    def __init__(self, f, endianness: str = "big"):
+        self.f = f
+        self.carry = 0
+        self.carry_bits = 0
+        self.bits = 0
+        self.endianness = endianness
+
+    def append(self, payload: bytes, nbits: int) -> None:
+        if nbits == 0:
+            return
+        if self.endianness == "big":
+            val = int.from_bytes(payload, "big") >> (len(payload) * 8 - nbits)
+            acc = (self.carry << nbits) | val
+            total = self.carry_bits + nbits
+            keep = total & 7
+            out_bits = total - keep
+            if out_bits:
+                self.f.write((acc >> keep).to_bytes(out_bits // 8, "big"))
+            self.carry = acc & ((1 << keep) - 1)
+        else:
+            val = int.from_bytes(payload, "little") & ((1 << nbits) - 1)
+            acc = self.carry | (val << self.carry_bits)
+            total = self.carry_bits + nbits
+            keep = total & 7
+            out_bits = total - keep
+            if out_bits:
+                self.f.write(
+                    (acc & ((1 << out_bits) - 1)).to_bytes(out_bits // 8, "little")
+                )
+            self.carry = acc >> out_bits
+        self.carry_bits = keep
+        self.bits += nbits
+
+    def close(self) -> None:
+        if self.carry_bits:
+            if self.endianness == "big":
+                self.f.write(
+                    bytes([(self.carry << (8 - self.carry_bits)) & 0xFF])
+                )
+            else:
+                self.f.write(bytes([self.carry & 0xFF]))
+            self.carry = 0
+            self.carry_bits = 0
+
+
 def write_bvgraph(
     spark: SparkSession,
     g: LinkGraph,
     basename: str,
     num_partitions: int | None = None,
     zeta_k: int = 3,
+    window_size: int = 7,
+    max_ref_count: int = 3,
+    min_interval_length: int = 4,
+    endianness: str = "big",
 ) -> dict:
-    """The reference's ``to bvgraph`` with REAL format output: write
-    ``basename.{graph,offsets,properties}`` in window-0 BV form.
+    """The reference's ``to bvgraph``: write
+    ``basename.{graph,offsets,properties}`` with the REAL Boldi-Vigna
+    compressor — greedy reference selection over a ``window_size`` node
+    window with chain depth <= ``max_ref_count``, copy blocks, interval
+    extraction at ``min_interval_length``, zeta_k residuals (defaults
+    7/3/4/3 = the reference's ``comp/flags.rs:42-55``). Pass
+    ``window_size=0, min_interval_length=0`` for the context-free
+    window-0 profile (parallel-friendliest, fattest output).
 
     Plan: node domain split into contiguous ranges; one shuffle groups
-    each range's edges (range partitioning on ``src``), each task encodes
-    its ranges independently (window 0 = context-free lists) and emits
-    (range, payload, bit length, per-node sizes); the driver bit-stitches
-    the P range payloads in order (P chunks, not O(n) items) and writes
-    the three files plus the gamma-gap offsets stream. At real scale the
-    stitch becomes a sharded write (one file per range, as the reference's
-    own split graphs do); everything up to it is map-side.
+    each range's edges, each task runs the greedy compressor over its
+    range independently (windows truncate at range starts — the
+    reference's own ``par_comp`` chunk rule) and emits (range, payload,
+    bit length, per-node sizes); the driver streams the P chunks in range
+    order (``toLocalIterator`` over a range-sorted frame — one chunk
+    resident at a time, NOT a collect of all payloads) through a
+    carry-append stitcher into ``.graph`` while gamma-coding the offsets
+    stream incrementally. Driver memory is O(largest chunk), independent
+    of graph size; ``max_resident_payload`` in the returned stats is the
+    observed bound.
 
-    Returns summary stats ({"bits", "bits_per_link", ...}).
+    Returns summary stats ({"bits", "bits_per_link", "avgref", ...}).
     """
     import pandas as pd
 
@@ -679,6 +1158,18 @@ def write_bvgraph(
     m = g.num_arcs
     parts = num_partitions or spark.sparkContext.defaultParallelism
     size = max(1, (n + parts - 1) // parts)
+    if endianness not in ("big", "little"):
+        raise NotImplementedError(f"unsupported endianness {endianness!r}")
+    props = BvProperties(
+        nodes=n,
+        arcs=m,
+        window_size=window_size,
+        max_ref_count=max_ref_count,
+        min_interval_length=min_interval_length,
+        zeta_k=zeta_k,
+        codes=dict(_FIELDS),
+        endianness=endianness,
+    )
 
     def enc(key, pdf):
         rng = int(key[0])
@@ -687,75 +1178,100 @@ def write_bvgraph(
         pdf = pdf.sort_values(["src", "dst"])
         for src, sub in pdf.groupby("src"):
             groups[int(src)] = sub["dst"].tolist()
-        payload, bits, sizes = encode_range(lo, hi, groups, zeta_k)
+        payload, bits, sizes, st = encode_range_bv(lo, hi, groups, props)
         return pd.DataFrame(
             {
                 "rng": [rng],
                 "payload": [payload],
                 "bits": [bits],
                 "sizes": [sizes],
+                "tot_ref": [st["tot_ref"]],
+                "tot_dist": [st["tot_dist"]],
             }
         )
 
-    chunks = (
+    chunk_iter = (
         g.edges.withColumn("rng", (F.col("src") / size).cast("long"))
         .groupBy("rng")
         .applyInPandas(
-            enc, "rng long, payload binary, bits long, sizes array<long>"
+            enc,
+            "rng long, payload binary, bits long, sizes array<long>, "
+            "tot_ref long, tot_dist long",
         )
-        .collect()
+        .orderBy("rng")
+        .toLocalIterator()
     )
-    by_rng = {int(r["rng"]): r for r in chunks}
-    # ranges with no edges at all still need their outdegree-0 lists
-    all_sizes: list[int] = []
-    acc, acc_bits = 0, 0
-    for rng in range((n + size - 1) // size):
-        lo, hi = rng * size, min((rng + 1) * size, n)
-        row = by_rng.get(rng)
-        if row is None:
-            payload, bits, sizes = encode_range(lo, hi, {}, zeta_k)
-        else:
-            payload, bits, sizes = bytes(row["payload"]), int(row["bits"]), [
-                int(s) for s in row["sizes"]
-            ]
-        chunk_val = int.from_bytes(payload, "big") >> (len(payload) * 8 - bits)
-        acc = (acc << bits) | chunk_val
-        acc_bits += bits
-        all_sizes.extend(sizes)
-    # left-align: acc holds the stream right-aligned in acc_bits bits
-    pad = (-acc_bits) % 8
-    graph_bytes = (
-        (acc << pad).to_bytes((acc_bits + pad) // 8, "big") if acc_bits else b""
-    )
-
-    ow = BitWriter()
-    prev = 0
-    pos = 0
-    ow.write_gamma(0)  # first offset gap: start of stream
-    for s in all_sizes:
-        pos += s
-        ow.write_gamma(pos - prev)
-        prev = pos
 
     os.makedirs(os.path.dirname(os.path.abspath(basename)) or ".", exist_ok=True)
-    with open(basename + ".graph", "wb") as f:
-        f.write(graph_bytes)
-    with open(basename + ".offsets", "wb") as f:
-        f.write(ow.to_bytes())
+    n_ranges = (n + size - 1) // size if n else 0
+    tot_ref = tot_dist = 0
+    max_resident = 0
+    ow = props.new_writer()
+    ow.write_gamma(0)  # first offset gap: start of stream
+    pos = prev = 0
+
+    def emit_sizes(sizes, fo):
+        nonlocal pos, prev
+        for s in sizes:
+            pos += int(s)
+            ow.write_gamma(pos - prev)
+            prev = pos
+        # drain whole bytes so the offsets stream doesn't accumulate
+        if len(ow.buf) >= 1 << 20:
+            fo.write(bytes(ow.buf))
+            ow.buf.clear()
+
+    with open(basename + ".graph", "wb") as fg, open(
+        basename + ".offsets", "wb"
+    ) as fo:
+        stitch = StreamStitcher(fg, endianness)
+        expected = 0
+        for row in chunk_iter:
+            rng = int(row["rng"])
+            # ranges with no edges never reach applyInPandas but still
+            # need their outdegree-0 lists — synthesize the gap ranges
+            while expected < rng:
+                lo, hi = expected * size, min((expected + 1) * size, n)
+                payload, bits, sizes, _ = encode_range_bv(lo, hi, {}, props)
+                stitch.append(payload, bits)
+                emit_sizes(sizes, fo)
+                expected += 1
+            payload = bytes(row["payload"])
+            max_resident = max(max_resident, len(payload))
+            stitch.append(payload, int(row["bits"]))
+            emit_sizes([int(s) for s in row["sizes"]], fo)
+            tot_ref += int(row["tot_ref"])
+            tot_dist += int(row["tot_dist"])
+            expected += 1
+        while expected < n_ranges:
+            lo, hi = expected * size, min((expected + 1) * size, n)
+            payload, bits, sizes, _ = encode_range_bv(lo, hi, {}, props)
+            stitch.append(payload, bits)
+            emit_sizes(sizes, fo)
+            expected += 1
+        acc_bits = stitch.bits
+        stitch.close()
+        fo.write(ow.to_bytes())
+
     with open(basename + ".properties", "w", encoding="utf-8") as f:
         f.write(
             "#BVGraph properties\n"
             "version=0\n"
             "graphclass=it.unimi.dsi.webgraph.BVGraph\n"
             f"nodes={n}\narcs={m}\n"
-            "windowsize=0\nmaxrefcount=0\nminintervallength=0\n"
+            f"windowsize={window_size}\nmaxrefcount={max_ref_count}\n"
+            f"minintervallength={min_interval_length}\n"
             f"zetak={zeta_k}\ncompressionflags=\n"
+            f"endianness={endianness}\n"
         )
     return {
         "nodes": n,
         "arcs": m,
         "bits": acc_bits,
         "bits_per_link": round(acc_bits / max(m, 1), 3),
+        "avgref": round(tot_ref / max(n, 1), 3),
+        "avgdist": round(tot_dist / max(n, 1), 3),
+        "max_resident_payload": max_resident,
     }
 
 

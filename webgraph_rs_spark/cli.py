@@ -86,10 +86,15 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "to-bv",
-        help="export as a real BVGraph bitstream (window-0 profile)",
+        help="export as a real BVGraph bitstream (windowed Boldi-Vigna "
+        "compressor; defaults 7/3/4 per comp/flags.rs)",
     )
     g_arg(sp, out=False)
     sp.add_argument("--output", required=True, help="BVGraph basename to write")
+    sp.add_argument("--window-size", type=int, default=7)
+    sp.add_argument("--max-ref-count", type=int, default=3)
+    sp.add_argument("--min-interval-length", type=int, default=4)
+    sp.add_argument("--zeta-k", type=int, default=3)
 
     sp = sub.add_parser(
         "analyze-bv",
@@ -228,7 +233,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "to-bv":
         from webgraph_rs_spark.bvgraph import write_bvgraph
 
-        print(json.dumps(write_bvgraph(spark, _load(spark, args), args.output)))
+        print(
+            json.dumps(
+                write_bvgraph(
+                    spark,
+                    _load(spark, args),
+                    args.output,
+                    zeta_k=args.zeta_k,
+                    window_size=args.window_size,
+                    max_ref_count=args.max_ref_count,
+                    min_interval_length=args.min_interval_length,
+                )
+            )
+        )
     elif args.cmd == "analyze-bv":
         from webgraph_rs_spark.bvgraph import analyze_codes
 
