@@ -817,39 +817,34 @@ def _q_page_links(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: if the driver's correctness run samples or
-    # caps the registry, the entries that have never appeared in a
-    # CORRECTNESS_r* run (plus this round's new ones) must execute FIRST;
-    # the long-green core queries come after.
+    # caps the registry, the entries that have NOT yet appeared in a
+    # CORRECTNESS_r* run must execute FIRST; the long-green core queries
+    # come after. r4 priority set = the 17 queries CORRECTNESS_r03's
+    # 50-query cap did not reach (r3's priority set all ran and moved
+    # back into the long-green tail).
     never_gated = {
-        "bv_cnr2000_stats": _q_bv_stats,
-        "sumsweep_ecc_backward": _q_sumsweep_becc,
+        "events_window": _q_events_window,
+        "page_text_extraction": _q_page_text,
+        "page_link_extraction": _q_page_links,
         **{
             k: v
             for k, v in _TEXTOPS_QUERIES.items()
             if k
             in (
-                "ivf_ann_topk",
-                "multimodal_meta",
-                "frame_sample_meta",
-                "audio_features",
-                "rolling_fingerprints",
-                "duplicate_spans",
-            )
-        },
-        **{
-            k: v
-            for k, v in _DIST_QUERIES.items()
-            if k
-            in (
-                "birank",
-                "all_pairs_distances",
-                "neighborhood_function",
-                "geometric_centralities",
-                "eccentricities",
-                "radius_diameter",
-                "hyperball_centralities",
-                "hyperball_weighted",
-                "llp_permutation",
+                "dedup_exact",
+                "doc_fingerprint",
+                "token_count",
+                "quality_score",
+                "lang_id",
+                "minhash_signatures",
+                "minhash_lsh_dups",
+                "ngram_jaccard_dups",
+                "simhash",
+                "simhash_near_dups",
+                "cosine_topk",
+                "lsh_buckets",
+                "embedding_near_dups",
+                "ivf_cells",
             )
         },
     }
@@ -885,12 +880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_renumbered": _q_scc_renumbered,
         "sumsweep_radius_diameter": _q_sumsweep_rd,
         "sumsweep_ecc_all": _q_sumsweep_ecc,
+        "sumsweep_ecc_backward": _q_sumsweep_becc,
+        "bv_cnr2000_stats": _q_bv_stats,
         "topo_levels": _q_topo,
         "intern_string_graph": _q_intern,
         "perm_compose": _q_perm_compose,
-        "events_window": _q_events_window,
-        "page_text_extraction": _q_page_text,
-        "page_link_extraction": _q_page_links,
         **_TEXTOPS_QUERIES,
         **_DIST_QUERIES,
     }

@@ -252,6 +252,12 @@ def test_analyze_codes_matches_compressor_records(decoded_prefix):
         "avgdist": 1.64,
         "bitsperlink": 2.897,
         "bitspernode": 28.624,
+        # r4: the avggap averaging convention was identified — the Java
+        # writer derives it from the exponential histogram with integer
+        # bucket-midpoint representatives (2^b + 2^{b+1} - 1)/2; both
+        # recorded scalars reproduce to the last decimal
+        "residualavggap": 6531.255,
+        "successoravggap": 1803.755,
     }
     assert {k: out[k] for k in want} == want
     # the 20-bucket exponential gap histograms, 40 more pinned integers

@@ -484,7 +484,7 @@ def exact_sum_sweep(
     mode: str = "radius_diameter",
     batch: int = 32,
     max_pivots: int = 4096,
-    use_scc: bool = True,
+    use_scc: bool | None = None,
 ) -> SumSweepResult:
     """Exact forward eccentricities / radius / diameter over ALL nodes by
     pivot-bounded sweeps — the reference's ExactSumSweep
@@ -551,6 +551,18 @@ def exact_sum_sweep(
 
     if mode not in ("radius_diameter", "all", "all_forward"):
         raise ValueError(mode)
+    if use_scc is not None:
+        # Deprecated no-op: SCC-DAG tightening measured ZERO pivot
+        # reduction on 4 fixture families (r3 negative result) and was
+        # removed; the parameter remains one release for API stability.
+        import warnings
+
+        warnings.warn(
+            "exact_sum_sweep(use_scc=...) is deprecated and ignored "
+            "(measured no benefit; see docstring)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     spark = g.edges.sparkSession
     # self-loops never affect eccentricities (d(v,v) = 0) but would break
     # the fl = 1 init below — drop them up front
