@@ -202,6 +202,28 @@ def _bfs_sql(iters: int = BFS_ITERS) -> str:
     return "\n".join(parts)
 
 
+def _bfs_events_sql(iters: int = BFS_ITERS) -> str:
+    """Events from exact distances: frontier_size(L) = |{v: d(v)=L}|;
+    revisits(L) = distinct arrivals at level L minus first-visits
+    (clamped at level 0 where the root is an Init, not an arrival)."""
+    closure = _bfs_sql(iters)
+    body, _, _ = closure.rpartition("SELECT id, distance FROM")
+    return (
+        body
+        + f", dist AS MATERIALIZED (SELECT id, distance FROM d{iters}),\n"
+        + """
+f AS (SELECT distance AS level, count(*)::BIGINT AS fs FROM dist GROUP BY distance),
+c AS (SELECT d.distance + 1 AS level, count(DISTINCT e.dst)::BIGINT AS cs
+      FROM e JOIN dist d ON e.src = d.id GROUP BY d.distance + 1)
+SELECT coalesce(f.level, c.level)::BIGINT AS level,
+       coalesce(f.fs, 0)::BIGINT AS frontier_size,
+       greatest(coalesce(c.cs, 0) - coalesce(f.fs, 0), 0)::BIGINT AS revisits
+FROM f FULL OUTER JOIN c ON f.level = c.level
+WHERE coalesce(f.fs, 0) > 0 OR greatest(coalesce(c.cs, 0) - coalesce(f.fs, 0), 0) > 0
+"""
+    )
+
+
 def _scc_sql(edges_sql: str, renumber: bool = False) -> str:
     """True SCC labels (min member id) via the reachability transitive
     closure as a recursive CTE — tractable at the 1024-node gate scale and
@@ -582,6 +604,21 @@ def _q_bfs(spark, sf):
     return bfs_distances(lineitem_graph(spark, sf), [0]).distances
 
 
+def _q_bfs_events(spark, sf):
+    """The r4 BFS event surface (Init/Unknown/Known/FrontierSize as a
+    per-level table). All-zero trailing rows are filtered so the table
+    is derivable from exact distances (the oracle's form)."""
+    _import_engine()
+    from pyspark.sql import functions as F
+    from webgraph_rs_spark.testgraphs import lineitem_graph
+    from webgraph_rs_spark.algorithms import bfs_distances
+
+    ev = bfs_distances(lineitem_graph(spark, sf), [0], events=True).events
+    return ev.filter(
+        (F.col("frontier_size") > 0) | (F.col("revisits") > 0)
+    ).select("level", "frontier_size", "revisits")
+
+
 def _q_scc(spark, sf):
     _import_engine()
     from webgraph_rs_spark.testgraphs import functional_graph
@@ -823,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query cap did not reach (r3's priority set all ran and moved
     # back into the long-green tail).
     never_gated = {
+        "bfs_events_from_0": _q_bfs_events,
         "events_window": _q_events_window,
         "page_text_extraction": _q_page_text,
         "page_link_extraction": _q_page_links,
@@ -968,6 +1006,7 @@ SELECT fin.id, rn.new_label AS label FROM fin JOIN rn ON fin.label = rn.label"""
 ) GROUP BY id), v AS ({SQL_V})
 SELECT v.id, coalesce(per.cnt, 0) AS triangles FROM v LEFT JOIN per ON v.id = per.id""",
         "bfs_from_0": _bfs_sql(),
+        "bfs_events_from_0": _bfs_events_sql(),
         "bfs_tree_from_0": _bfs_tree_sql(),
         "bfs_order_from_0": _bfs_sql().replace(
             f"SELECT id, distance FROM d{BFS_ITERS}",

@@ -189,6 +189,24 @@ def main() -> int:
             decoded / timings["bv_decode"], 1
         )
 
+    def bv_enc():
+        # r4: the full greedy windowed compressor (reference defaults) on
+        # the bench graph — export-path throughput + achieved bits/arc
+        import tempfile
+
+        from webgraph_rs_spark.bvgraph import write_bvgraph
+
+        base = os.path.join(tempfile.mkdtemp(prefix="bvenc"), "bench")
+        st = write_bvgraph(spark, g, base)
+        extras["bv_encode_bits_per_link"] = st["bits_per_link"]
+        return st["arcs"]
+
+    encoded = timed("bv_encode", bv_enc)
+    if encoded and "bv_encode" in timings:
+        extras["bv_encode_arcs_per_sec"] = round(
+            encoded / timings["bv_encode"], 1
+        )
+
     # -- training-data pipeline segments on the documents table
     docs_holder = {}
 

@@ -172,3 +172,25 @@ def test_iterate_generic_counter(spark, tmp_ckpt):
     )
     assert res.iterations == 5
     assert {r["v"] for r in res.state.collect()} == {5}
+
+
+def test_bfs_event_table(spark):
+    """events=True materializes the reference's visit-event taxonomy
+    (Init/Unknown/Known/FrontierSize, breadth_first/mod.rs:30-183) as a
+    per-level table: frontier_size = Unknown count (level 0 = Init
+    roots), revisits = Known count."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.algorithms.bfs import bfs_distances
+
+    # diamond + back-edge: 0->{1,2}->3->0
+    g = graph_from_pandas(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0)], 4)
+    res = bfs_distances(g, [0], events=True)
+    ev = {r["level"]: (r["frontier_size"], r["revisits"]) for r in res.events.collect()}
+    assert ev[0] == (1, 0)  # Init: the root
+    assert ev[1] == (2, 0)  # 1 and 2 discovered
+    assert ev[2] == (1, 0)  # 3 discovered (two arrivals dedup to one node)
+    assert ev[3] == (0, 1)  # back-edge arrival at visited 0 = Known event
+    # default path unchanged
+    res2 = bfs_distances(g, [0])
+    assert res2.events is None
+    assert res2.distances.count() == 4

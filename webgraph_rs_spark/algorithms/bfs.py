@@ -29,6 +29,7 @@ BROADCAST_FRONTIER_MAX = 1_000_000
 class BFSResult:
     distances: DataFrame  # (id long, distance long) — reached nodes only
     rounds: int
+    events: DataFrame | None = None  # (level, frontier_size, revisits)
 
 
 def bfs_distances(
@@ -36,6 +37,7 @@ def bfs_distances(
     roots: list[int] | DataFrame,
     max_depth: int | None = None,
     node_filter=None,
+    events: bool = False,
 ) -> BFSResult:
     """Multi-source BFS distances over the directed graph.
 
@@ -51,8 +53,15 @@ def bfs_distances(
     predicate over the candidate node id column ``id`` — e.g.
     ``F.col("id") % 2 == 0``. Filtered nodes are never visited, never
     expanded, and absent from the distance table; applied to roots too,
-    exactly like the reference. Event *callbacks* (Revisit etc.) have no
-    Spark analogue — the distance/pred tables are the event stream.
+    exactly like the reference.
+
+    ``events=True`` materializes the reference visit-event taxonomy
+    (``breadth_first/mod.rs:30-183``) as a TABLE instead of callbacks —
+    the Spark-idiomatic event surface: one row per level with
+    ``frontier_size`` (the Unknown/first-visit count, level 0 = Init
+    roots) and ``revisits`` (the Known count: arrivals at
+    already-visited nodes). Costs one extra count action per level, so
+    it is opt-in.
     """
     spark = g.edges.sparkSession
     if isinstance(roots, DataFrame):
@@ -72,23 +81,33 @@ def bfs_distances(
     frontier = frontier.localCheckpoint()
     n_frontier = frontier.count()
     depth = 0
+    ev_rows: list[tuple[int, int, int]] = [(0, n_frontier, 0)]
     while n_frontier > 0 and (max_depth is None or depth < max_depth):
         f = (
             F.broadcast(frontier)
             if n_frontier <= BROADCAST_FRONTIER_MAX
             else frontier
         )
-        nxt = (
+        cand = (
             edges.join(f.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
         )
+        if events:
+            cand = cand.localCheckpoint()
+            n_cand = cand.count()
+        nxt = cand.join(visited.select("id"), "id", "left_anti")
         if node_filter is not None:
             nxt = nxt.filter(node_filter)
         nxt = nxt.localCheckpoint()
         depth += 1
         n_frontier = nxt.count()
+        if events:
+            # Known events = distinct arrivals minus first-visits (the
+            # node_filter also never "visits", matching the reference:
+            # filtered nodes raise no Unknown event)
+            ev_rows.append((depth, n_frontier, n_cand - n_frontier))
+            release_state(cand)
         if n_frontier > 0:
             old_visited = visited
             visited = visited.unionByName(
@@ -98,7 +117,12 @@ def bfs_distances(
         release_state(frontier)
         frontier = nxt
     edges.unpersist()
-    return BFSResult(visited, depth)
+    ev_df = None
+    if events:
+        ev_df = spark.createDataFrame(
+            ev_rows, "level long, frontier_size long, revisits long"
+        )
+    return BFSResult(visited, depth, ev_df)
 
 
 def bfs_tree(

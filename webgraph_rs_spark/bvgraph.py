@@ -982,11 +982,16 @@ def _intervalize(extras: list, min_len: int) -> tuple[list, list]:
     return ivals, resid
 
 
-def _emit_list(w, x: int, succs: list, ref: int, parent, props: BvProperties):
+def _emit_list(
+    w, x: int, succs: list, ref: int, parent, props: BvProperties,
+    succ_set: set | None = None,
+):
     """Write (or cost, if ``w`` is a :class:`BitCounter`) one successor
     list in full BV form — outdegree, reference, copy blocks, intervals,
     residuals — mirroring ``Compressor::write`` (``bvcomp.rs:170-236``);
-    the field layout is the exact inverse of :func:`decode_list_at`."""
+    the field layout is the exact inverse of :func:`decode_list_at`.
+    ``succ_set`` lets the reference-selection loop build the successor
+    set once instead of once per candidate."""
     wr_out, wr_ref, wr_blk, wr_int, wr_res = props.writers()
     d = len(succs)
     wr_out(w, d)
@@ -996,7 +1001,9 @@ def _emit_list(w, x: int, succs: list, ref: int, parent, props: BvProperties):
     if props.window_size > 0:
         wr_ref(w, ref)
         if ref > 0:
-            runs, copied = _diff_blocks(set(succs), parent)
+            runs, copied = _diff_blocks(
+                succ_set if succ_set is not None else set(succs), parent
+            )
             wr_blk(w, len(runs))
             for i, b in enumerate(runs):
                 # first block verbatim, later blocks stored minus 1
@@ -1054,6 +1061,7 @@ def encode_range_bv(
         succs = groups.get(x)
         succs = list(succs) if succs is not None else []
         best_ref = 0
+        sset = set(succs) if succs else None
         if succs and win > 0:
             c = BitCounter()
             _emit_list(c, x, succs, 0, None, props)
@@ -1066,13 +1074,13 @@ def encode_range_bv(
                 if not parent:
                     continue
                 c = BitCounter()
-                _emit_list(c, x, succs, delta, parent, props)
+                _emit_list(c, x, succs, delta, parent, props, sset)
                 if c.bits < best:
                     best = c.bits
                     best_ref = delta
         before = w.bits
         _emit_list(
-            w, x, succs, best_ref, window.get(x - best_ref), props
+            w, x, succs, best_ref, window.get(x - best_ref), props, sset
         )
         sizes.append(w.bits - before)
         if win > 0:
