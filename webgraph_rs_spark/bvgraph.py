@@ -516,13 +516,17 @@ class _SliceOffsets:
         return self.arr[x - self.base]
 
 
-def _decode_offsets_task(spark: SparkSession, basename: str, n: int) -> np.ndarray:
+def _plan_ranges_task(
+    spark: SparkSession, basename: str, n: int, parts: int
+) -> DataFrame:
     """Decode the ``.offsets`` gamma stream (or rebuild it from the graph
-    stream when the file is missing) in ONE executor task instead of the
-    driver — the driver never runs a per-node Python loop and never opens
-    ``.graph``. The returned n+1 int64 array is the per-file index the
-    driver keeps for range planning (8 bytes/node, the documented
-    per-file driver-side footprint)."""
+    stream when the file is missing), split the node domain into
+    bit-balanced ranges, and emit one row per range with its byte span
+    and offsets-index slice — all inside ONE executor task. The driver
+    never runs a per-node loop, never opens ``.graph``, and never holds
+    the O(n) offsets array; the only O(n) structure anywhere is this
+    task's transient array plus the range rows flowing through the plan
+    (the per-range slices, O(n) total, partitioned)."""
 
     def work(pdf_iter):
         import pandas as pd
@@ -531,20 +535,37 @@ def _decode_offsets_task(spark: SparkSession, basename: str, n: int) -> np.ndarr
             props_t = read_properties(basename + ".properties")
             if os.path.exists(basename + ".offsets"):
                 with open(basename + ".offsets", "rb") as f:
-                    arr = decode_offsets(f.read(), n, props_t.endianness)
+                    offsets = decode_offsets(f.read(), n, props_t.endianness)
             else:
                 # `build offsets` fallback: one sequential pass over the
                 # bitstream (cli/src/build/offsets.rs)
                 with open(basename + ".graph", "rb") as f:
-                    arr = sequential_pass(f.read(), props_t)
-            yield pd.DataFrame({"blob": [arr.tobytes()]})
+                    offsets = sequential_pass(f.read(), props_t)
+            ranges = _balanced_ranges(offsets, n, parts)
+            lookback = props_t.window_size * props_t.max_ref_count
+            rows = []
+            for lo, hi in ranges:
+                seed = max(0, lo - lookback)
+                rows.append(
+                    (
+                        int(lo),
+                        int(hi),
+                        int(seed),
+                        int(offsets[seed]) >> 3,
+                        # the range task's slice of the index:
+                        # offsets[seed..hi] (it never reads past the
+                        # START of its last list)
+                        [int(v) for v in offsets[seed : hi + 1]],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["lo", "hi", "seed", "byte_start", "offs"],
+            )
 
-    blob = (
-        spark.range(1)
-        .mapInPandas(work, "blob binary")
-        .collect()[0]["blob"]
+    return spark.range(1).mapInPandas(
+        work, "lo long, hi long, seed long, byte_start long, offs array<long>"
     )
-    return np.frombuffer(bytes(blob), dtype=np.int64)
 
 
 def read_bvgraph(
@@ -555,19 +576,21 @@ def read_bvgraph(
 ) -> LinkGraph:
     """Load a BVGraph basename as a :class:`LinkGraph`.
 
-    Driver side: parse ``.properties`` and split the node domain into
-    bit-balanced ranges using the offsets index (decoded in an executor
-    task — the driver never reads ``.graph`` bytes and runs no per-node
-    loop). Executor side: each range task opens the file itself and
-    reads ONLY its byte range ``[offsets[seed]/8 .. offsets[hi]/8)``
-    where ``seed = lo - window_size*max_ref_count`` (the deepest a
-    reference chain can reach back), decodes independently, and emits
-    Arrow batches (``mapInPandas``). Each task's slice of the offsets
-    index travels IN the ranges DataFrame — there is no broadcast of any
-    kind, so nothing in the plan scales with file size on the driver; at
-    object-store scale the per-task ``open`` + ``seek`` becomes a ranged
-    GET and the plan is unchanged. One shuffle lands the edges in the
-    canonical hash(src) parquet layout every downstream query reuses.
+    Driver side: parse ``.properties`` only. An executor task decodes
+    the offsets index, splits the node domain into bit-balanced ranges,
+    and emits one row per range carrying its byte span and offsets-index
+    slice — the driver never reads ``.graph`` bytes, runs no per-node
+    loop, and holds no O(n) array. Each range task then opens the file
+    itself and reads ONLY its byte range
+    ``[offsets[seed]/8 .. offsets[hi]/8)`` where
+    ``seed = lo - window_size*max_ref_count`` (the deepest a reference
+    chain can reach back), decodes independently, and emits Arrow
+    batches (``mapInPandas``). There is no broadcast of any kind, so
+    nothing anywhere scales with file size except one transient
+    offsets array inside the planning task; at object-store scale the
+    per-task ``open`` + ``seek`` becomes a ranged GET and the plan is
+    unchanged. One shuffle lands the edges in the canonical hash(src)
+    parquet layout every downstream query reuses.
     """
     import pandas as pd
 
@@ -578,29 +601,11 @@ def read_bvgraph(
         # throw), return the empty graph directly
         edges = spark.createDataFrame([], "src long, dst long")
         return LinkGraph(edges, spark.range(0).select("id"), _num_nodes=0, _num_arcs=0)
-    offsets = _decode_offsets_task(spark, basename, n)
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranges = _balanced_ranges(offsets, n, parts)
-    lookback = props.window_size * props.max_ref_count
-    rows = []
-    for lo, hi in ranges:
-        seed = max(0, lo - lookback)
-        byte_start = int(offsets[seed]) >> 3
-        rows.append(
-            (
-                int(lo),
-                int(hi),
-                int(seed),
-                int(byte_start),
-                # the task's slice of the index: offsets[seed..hi] (it
-                # never reads past the START of its last list)
-                [int(v) for v in offsets[seed : hi + 1]],
-            )
-        )
-    ranges_df = spark.createDataFrame(
-        rows, "lo long, hi long, seed long, byte_start long, offs array<long>"
-    ).repartition(max(1, len(rows)))
+    # spread the <= parts range rows across parts partitions so each
+    # decode task handles ~one range
+    ranges_df = _plan_ranges_task(spark, basename, n, parts).repartition(parts)
 
     def decode_batches(pdf_iter):
         for pdf in pdf_iter:
