@@ -308,3 +308,40 @@ def test_systolic_change_detection_probe(spark):
             f"lg_k={lg_k}: {agg['m']} sketch changes invisible to the "
             "(estimate, length) frontier key"
         )
+
+
+def test_hyperball_kill_and_resume(spark, tmp_path):
+    """North-rule durability for HyperBall: a run truncated at max_iter=3
+    with a checkpoint store resumes from its last complete iteration and
+    finishes IDENTICAL (per-node centralities) to an uninterrupted run —
+    HLL register union is order-independent, so estimates reproduce
+    exactly."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.algorithms.distances import hyperball
+
+    edges = [(i, (i + 1) % 40) for i in range(40)] + [(i, (i * 7 + 3) % 40) for i in range(40)]
+    g = graph_from_pandas(spark, edges, 40)
+
+    full = hyperball(g, max_iter=30, rel_tol=0.0, systolic_threshold=0.25)
+
+    ck = str(tmp_path / "hb")
+    part = hyperball(
+        g, max_iter=3, rel_tol=0.0, checkpoint_dir=ck, checkpoint_every=2
+    )
+    assert part.iterations == 3
+    resumed = hyperball(
+        g, max_iter=30, rel_tol=0.0, checkpoint_dir=ck, checkpoint_every=2
+    )
+    assert resumed.resumed_from is not None and resumed.resumed_from >= 2
+    assert resumed.iterations == full.iterations
+
+    a = {r["id"]: (r["reachable_est"], r["sum_dist_est"], r["harmonic_est"])
+         for r in full.centralities.collect()}
+    b = {r["id"]: (r["reachable_est"], r["sum_dist_est"], r["harmonic_est"])
+         for r in resumed.centralities.collect()}
+    assert a == b
+    # resuming a finished run is a no-op returning the stored state
+    again = hyperball(g, max_iter=30, rel_tol=0.0, checkpoint_dir=ck)
+    assert {r["id"]: r["reachable_est"] for r in again.centralities.collect()} == {
+        k: v[0] for k, v in a.items()
+    }

@@ -137,3 +137,32 @@ def test_restrict_broadcast_is_size_gated(spark, monkeypatch):
     # end-to-end SCC still correct under the shuffled fallback
     res = S.strongly_connected_components(g)
     assert res.labels.select("label").distinct().count() == 1
+
+
+def test_scc_kill_and_resume(spark, tmp_path):
+    """Outer-round durability: two 2-cycles in one color class (edge from
+    the high-id cycle into the low-id one) force two FW-BW rounds; a run
+    capped at max_outer=1 with a checkpoint store resumes at round 1 and
+    finishes identical to an uninterrupted run."""
+    from webgraph_rs_spark.algorithms.sccs import strongly_connected_components
+
+    # cycle {4,5} -> cycle {0,1}: color 5 covers everything, so round 1
+    # extracts only SCC {4,5}; {0,1} needs round 2
+    edges = [(4, 5), (5, 4), (0, 1), (1, 0), (5, 0)]
+    g = graph_from_pandas(spark, edges, 6)
+
+    full = strongly_connected_components(g)
+    assert full.rounds >= 2
+    want = _labels_dict(full)
+
+    ck = str(tmp_path / "scc")
+    part = strongly_connected_components(g, max_outer=1, checkpoint_dir=ck)
+    assert part.rounds == 1
+    assert len(_labels_dict(part)) < len(want)  # genuinely incomplete
+
+    resumed = strongly_connected_components(g, checkpoint_dir=ck)
+    assert resumed.resumed_from == 1
+    assert _labels_dict(resumed) == want
+    # resuming the now-complete run is a stable no-op
+    again = strongly_connected_components(g, checkpoint_dir=ck)
+    assert _labels_dict(again) == want

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_rs_spark.driver import release_state
+from webgraph_rs_spark.driver import CheckpointStore, release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 # ----------------------------------------------------------- exact distances
@@ -176,6 +176,7 @@ class HyperBallResult:
     centralities: DataFrame
     iterations: int
     metrics_history: list[dict] = field(default_factory=list)
+    resumed_from: int | None = None
 
 
 def hyperball(
@@ -186,6 +187,10 @@ def hyperball(
     systolic_threshold: float = 0.25,
     discounts: dict | None = None,
     weights: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    job: str = "hyperball",
+    checkpoint_every: int = 8,
+    resume: bool = True,
 ) -> HyperBallResult:
     """HyperBall: per-node HLL counters grown along out-edges — fully
     JVM-side via Spark's datasketches functions (``hll_sketch_agg`` /
@@ -238,7 +243,19 @@ def hyperball(
     ball estimate and derived centrality becomes its weighted analogue —
     ``reachable_est`` estimates the total WEIGHT of the ball. Missing
     ids default to weight 1.
+
+    ``checkpoint_dir`` makes the run durable like the other iterative
+    jobs: every ``checkpoint_every`` iterations (and on convergence) the
+    full per-node state — sketch, accumulators, frontier flag — is
+    committed to the parquet CheckpointStore with per-partition lineage
+    + metrics (the neighborhood-function history rides in the manifest),
+    and a killed job resumes from the last complete iteration. HLL
+    register union is order-independent, so a resumed run reproduces the
+    uninterrupted run's estimates exactly. Callers must pass the same
+    ``discounts``/``lg_k`` on resume (the snapshot stores columns, not
+    the discount functions).
     """
+    import time as _time
     n = g.num_nodes
     # self-loop augmented edges: the group at src always includes its own
     # sketch; B(v, t) grows along out-edges (hyperball.rs doc)
@@ -317,7 +334,33 @@ def hyperball(
     n_changed = n
     metrics: list[dict] = []
     it_n = 0
-    for t in range(1, max_iter + 1):
+    start_t = 0
+    resumed_from = None
+    store = CheckpointStore(checkpoint_dir, job) if checkpoint_dir else None
+    acc_cols = [
+        "id", "reachable_est", "sk_len", "sum_dist_est", "harmonic_est",
+        *[f"{name}_est" for name in discounts],
+    ]
+    if store and resume:
+        latest = store.latest_complete()
+        if latest is not None:
+            spark = g.edges.sparkSession
+            snap = store.load(spark, int(latest["iteration"]))
+            release_state(state)
+            release_state(acc)
+            state = snap.select("id", "sketch").localCheckpoint()
+            acc = snap.select(*acc_cols).localCheckpoint()
+            changed = snap.filter(F.col("chg")).select("id").localCheckpoint()
+            n_changed = changed.count()
+            nf = [float(v) for v in latest["metrics"]["nf_hist"]]
+            start_t = int(latest["iteration"])
+            resumed_from = start_t
+            it_n = start_t
+            if n_changed == 0:
+                start_t = max_iter  # stored run already converged
+
+    for t in range(start_t + 1, max_iter + 1):
+        _t0 = _time.time()
         it_n = t
         systolic = changed is not None and n_changed < systolic_threshold * n
         if systolic:
@@ -427,7 +470,24 @@ def hyperball(
             {"iteration": t, "changed": n_changed, "systolic": systolic,
              "nf": total, "rel_grow": rel_grow}
         )
-        if n_changed == 0 or rel_grow < rel_tol:
+        stopping = n_changed == 0 or rel_grow < rel_tol
+        if store and (stopping or t % checkpoint_every == 0):
+            snap = (
+                state.join(acc, "id")
+                .join(
+                    changed.select("id", F.lit(True).alias("chg")),
+                    "id",
+                    "left",
+                )
+                .fillna({"chg": False})
+            )
+            store.write(
+                snap,
+                t,
+                {"nf_hist": nf, "changed": n_changed},
+                (_time.time() - _t0) * 1000.0,
+            )
+        if stopping:
             break
     release_state(changed)
     release_state(state)
@@ -457,7 +517,7 @@ def hyperball(
     # a projection handed to the caller cannot release its parent's blocks
     cent = cent_plan.localCheckpoint()
     release_state(acc)
-    return HyperBallResult(nf, cent, it_n, metrics)
+    return HyperBallResult(nf, cent, it_n, metrics, resumed_from)
 
 
 # -------------------------------------------------------------- ExactSumSweep

@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_rs_spark.driver import release_state
+from webgraph_rs_spark.driver import CheckpointStore, release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 
@@ -60,6 +60,7 @@ class SCCResult:
     labels: DataFrame  # (id long, label long) — label = min id in the SCC
     rounds: int  # outer trim+color+extract rounds
     metrics_history: list[dict] = field(default_factory=list)
+    resumed_from: int | None = None
 
 
 def _gated(side: DataFrame, n_rows: int | None) -> DataFrame:
@@ -101,7 +102,11 @@ def _restrict(
 
 
 def strongly_connected_components(
-    g: LinkGraph, max_outer: int = 200
+    g: LinkGraph,
+    max_outer: int = 200,
+    checkpoint_dir: str | None = None,
+    job: str = "scc",
+    resume: bool = True,
 ) -> SCCResult:
     """Compute SCC labels (label = min id in the component).
 
@@ -119,7 +124,16 @@ def strongly_connected_components(
     Labels accumulate as views over per-step checkpoints and union once
     at the end instead of re-materializing the whole labelled set per
     peel (O(n) per peel -> O(n) total).
+
+    ``checkpoint_dir`` commits one durable snapshot per OUTER round
+    (labels assigned so far + the alive set, one parquet table with
+    per-partition lineage + metrics in the manifest); a killed job
+    resumes at the last complete round boundary and redoes at most one
+    round. Outer-round granularity is the honest unit here — inner
+    trim/color/extract state is a fixpoint recomputed from the alive
+    set anyway.
     """
+    import time as _time
     alive = g.vertices.select("id").localCheckpoint()
     n_alive = alive.count()
     base = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
@@ -134,6 +148,44 @@ def strongly_connected_components(
     rounds = 0
     parts: list[DataFrame] = []  # label frames (views over held checkpoints)
     hold: list[DataFrame] = []  # checkpoints released after the final union
+    store = CheckpointStore(checkpoint_dir, job) if checkpoint_dir else None
+    resumed_from = None
+    if store and resume:
+        latest = store.latest_complete()
+        if latest is not None:
+            spark = g.edges.sparkSession
+            snap = store.load(spark, int(latest["iteration"]))
+            parts = [snap.filter(~F.col("alive")).select("id", "label")]
+            old_alive = alive
+            alive = snap.filter(F.col("alive")).select("id").localCheckpoint()
+            release_state(old_alive)
+            n_alive = alive.count()
+            rounds = int(latest["iteration"])
+            resumed_from = rounds
+
+    def _commit_round(t0: float) -> None:
+        """Durable snapshot: labelled rows (alive=False) + alive ids."""
+        if store is None:
+            return
+        spark_l = g.edges.sparkSession
+        if parts:
+            lab = parts[0]
+            for p in parts[1:]:
+                lab = lab.unionByName(p)
+        else:
+            lab = spark_l.createDataFrame([], "id long, label long")
+        snap = lab.select("id", "label", F.lit(False).alias("alive"))
+        if n_alive > 0:
+            snap = snap.unionByName(
+                alive.select(
+                    "id",
+                    F.lit(None).cast("long").alias("label"),
+                    F.lit(True).alias("alive"),
+                )
+            )
+        store.write(
+            snap, rounds, {"n_alive": n_alive}, (_time.time() - t0) * 1000.0
+        )
 
     def _swap_edges(new_alive: DataFrame, n_new: int | None = None) -> None:
         """Re-restrict both layouts from base to new_alive, materialize,
@@ -148,8 +200,12 @@ def strongly_connected_components(
             old_src.unpersist()
             old_dst.unpersist()
 
+    if resumed_from is not None and n_alive > 0:
+        _swap_edges(alive, n_alive)
+
     while n_alive > 0 and rounds < max_outer:
         rounds += 1
+        _round_t0 = _time.time()
         # ---- 1. TRIM to fixpoint: peel in/out-degree-0 nodes by deltas
         outd = by_src.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("od")
@@ -223,6 +279,7 @@ def strongly_connected_components(
         if n_alive == 0:
             metrics.append({"round": rounds, "trimmed": trimmed_total,
                             "extracted": 0, "alive": 0})
+            _commit_round(_round_t0)
             break
         if trimmed_total:
             old_alive = alive
@@ -360,6 +417,7 @@ def strongly_connected_components(
                         "extracted": extracted, "alive": n_alive,
                         "trim_iters": trim_iters, "color_iters": color_iters,
                         "extract_iters": extract_iters})
+        _commit_round(_round_t0)
 
     release_state(alive)
     if by_src is not base_src:
@@ -379,7 +437,7 @@ def strongly_connected_components(
         done = spark.createDataFrame([], "id long, label long")
     # `done` IS the checkpointed frame — return it directly so the
     # caller's release_state reaches the checkpoint RDD
-    return SCCResult(done, rounds, metrics)
+    return SCCResult(done, rounds, metrics, resumed_from)
 
 
 def condensation(g: LinkGraph, labels: DataFrame) -> DataFrame:
