@@ -515,3 +515,41 @@ def test_read_bvgraph_empty_graph(spark, tmp_path):
     (tmp_path / "empty.offsets").write_bytes(b"\x80")  # gamma(0)
     g = read_bvgraph(spark, str(base))
     assert g.num_nodes == 0 and g.edges.count() == 0
+
+
+def test_bvcompz_roundtrip_and_beats_greedy_cnr2000(spark, cnr, tmp_path):
+    """BvCompZ (Zuckerli DP reference selection, comp/bvcompz.rs) through
+    the parallel Spark export path at the reference's BvCompZ defaults
+    (window 16, chunk 10,000): the 3,216,152 arcs must roundtrip exactly
+    and the achieved compression must beat the greedy compressor's 2.897
+    bits/arc (driver-side measurement: 2.781 at window 16; range
+    truncation costs a whisker on top)."""
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+    base = str(tmp_path / "cnr-z")
+    stats = write_bvgraph(
+        spark, cnr, base, window_size=16, selection="zuckerli"
+    )
+    assert stats["arcs"] == GOLDEN_ARCS
+    assert stats["bits_per_link"] < 2.85  # greedy: 2.897; driver-side z: 2.781
+    g2 = read_bvgraph(spark, base, canonical=False)
+    assert g2.edges.count() == GOLDEN_ARCS
+    diff = (
+        g2.edges.exceptAll(cnr.edges).count()
+        + cnr.edges.exceptAll(g2.edges).count()
+    )
+    assert diff == 0
+
+
+def test_bvcompz_small_roundtrip(spark, tmp_path):
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0), (6, 2),
+             (7, 1), (7, 2), (8, 1), (8, 2), (9, 1), (9, 2)]
+    g = graph_from_pandas(spark, edges, 10)
+    base = str(tmp_path / "z")
+    write_bvgraph(spark, g, base, num_partitions=2, selection="zuckerli",
+                  window_size=16, chunk_size=4)
+    g2 = read_bvgraph(spark, base, canonical=False)
+    assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(edges)

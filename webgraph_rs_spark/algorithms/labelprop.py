@@ -207,7 +207,10 @@ def label_propagation(
         # for the fixpoint
         modified = n_changed if gated is None else n_changed + gated.count()
         frontier["df"] = changed if n_changed > 0 else None
-        frontier["n"] = n_changed
+        # gate broadcasts/rescans on PROPOSALS: the affected set unions the
+        # gated nodes in, so sizing on adopted-only could oversize a
+        # broadcast when most proposals were damped away
+        frontier["n"] = modified
         frontier["gated"] = (
             gated if gated is not None and modified > n_changed else None
         )

@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-ref-count", type=int, default=3)
     sp.add_argument("--min-interval-length", type=int, default=4)
     sp.add_argument("--zeta-k", type=int, default=3)
+    sp.add_argument("--selection", choices=["greedy", "zuckerli"],
+                    default="greedy",
+                    help="reference selection: BvComp greedy or BvCompZ "
+                    "Zuckerli DP (use --window-size 16 for the latter's "
+                    "reference defaults)")
+    sp.add_argument("--chunk-size", type=int, default=10_000)
 
     sp = sub.add_parser(
         "analyze-bv",
@@ -243,6 +249,8 @@ def main(argv: list[str] | None = None) -> int:
                     window_size=args.window_size,
                     max_ref_count=args.max_ref_count,
                     min_interval_length=args.min_interval_length,
+                    selection=args.selection,
+                    chunk_size=args.chunk_size,
                 )
             )
         )
