@@ -553,3 +553,42 @@ def test_bvcompz_small_roundtrip(spark, tmp_path):
                   window_size=16, chunk_size=4)
     g2 = read_bvgraph(spark, base, canonical=False)
     assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(edges)
+
+
+def test_random_access_successors(decoded_prefix):
+    """BvGraph::successors parity (random_access.rs:243-290): single-node
+    random access must equal the sequential decode, across reference-
+    chain and interval-heavy nodes, reading only a byte range."""
+    from webgraph_rs_spark.bvgraph import successors
+
+    props, data, offsets, decode_range = decoded_prefix
+    probe = [0, 1, 53, 1000, 100_000, 200_123, GOLDEN_NODES - 1]
+    seq = {}
+    for x in probe:
+        lo = max(0, x - 50)
+        for y, s in decode_range(data, offsets, lo, x + 1, props):
+            if y == x:
+                seq[x] = s
+    for x in probe:
+        assert successors(DATA, x) == seq[x], x
+
+
+def test_cli_to_endianness_roundtrip(spark, tmp_path):
+    """`to-endianness` (cli/src/to/endianness.rs): BE -> LE -> BE keeps
+    the graph identical and flips the manifests."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph, read_properties
+    from webgraph_rs_spark.cli import main as cli_main
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)]
+    g = graph_from_pandas(spark, edges, 4)
+    be = str(tmp_path / "be")
+    le = str(tmp_path / "le")
+    write_bvgraph(spark, g, be, num_partitions=2)
+    cli_main([
+        "--master", "local[2]", "to-endianness", "--input", be,
+        "--output", le, "--endianness", "little",
+    ])
+    assert read_properties(le + ".properties").endianness == "little"
+    g2 = read_bvgraph(spark, le, canonical=False)
+    assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(edges)

@@ -1473,6 +1473,44 @@ def write_bvgraph(
     }
 
 
+def successors(basename: str, x: int) -> list[int]:
+    """Random-access successor list of ONE node straight from the
+    bitstream — the reference's ``BvGraph::successors``
+    (``random_access.rs:243-290``), no Spark session, no full decode.
+    Reads only the byte range covering the deepest possible reference
+    chain (``window_size * max_ref_count`` nodes back); the offsets
+    index decode is the per-file O(n) cost (amortize across calls by
+    decoding once and using :func:`decode_successors` directly)."""
+    props = read_properties(basename + ".properties")
+    n = props.nodes
+    if not 0 <= x < n:
+        raise IndexError(f"node {x} out of range [0, {n})")
+    if os.path.exists(basename + ".offsets"):
+        with open(basename + ".offsets", "rb") as f:
+            offsets = decode_offsets(f.read(), n, props.endianness)
+    else:
+        with open(basename + ".graph", "rb") as f:
+            offsets = sequential_pass(f.read(), props)
+    seed = max(0, x - props.window_size * props.max_ref_count)
+    byte_start = int(offsets[seed]) >> 3
+    byte_end = (int(offsets[x + 1]) + 7) >> 3
+    with open(basename + ".graph", "rb") as f:
+        f.seek(byte_start)
+        data = f.read(byte_end - byte_start)
+    cache: dict[int, list[int]] = {}
+
+    def resolve(y: int) -> list[int]:
+        got = cache.get(y)
+        if got is None:
+            got = decode_successors(
+                data, offsets, y, props, resolve, byte_start << 3
+            )
+            cache[y] = got
+        return got
+
+    return resolve(x)
+
+
 # ------------------------------------------------------------ goldens
 
 

@@ -109,6 +109,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--input", required=True, help="BVGraph basename")
 
+    sp = sub.add_parser(
+        "to-endianness",
+        help="convert a BVGraph basename between big- and little-endian "
+        "bitstreams (cli/src/to/endianness.rs)",
+    )
+    sp.add_argument("--input", required=True, help="source BVGraph basename")
+    sp.add_argument("--output", required=True, help="target BVGraph basename")
+    sp.add_argument("--endianness", choices=["big", "little"], required=True)
+    sp.add_argument("--window-size", type=int, default=7)
+    sp.add_argument("--max-ref-count", type=int, default=3)
+    sp.add_argument("--min-interval-length", type=int, default=4)
+    sp.add_argument("--zeta-k", type=int, default=3)
+
     for name in ("stats", "triangles", "acyclic", "sumsweep"):
         sp = sub.add_parser(name)
         g_arg(sp, out=False)
@@ -251,6 +264,24 @@ def main(argv: list[str] | None = None) -> int:
                     min_interval_length=args.min_interval_length,
                     selection=args.selection,
                     chunk_size=args.chunk_size,
+                )
+            )
+        )
+    elif args.cmd == "to-endianness":
+        from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+        src = read_bvgraph(spark, args.input, canonical=False)
+        print(
+            json.dumps(
+                write_bvgraph(
+                    spark,
+                    src,
+                    args.output,
+                    zeta_k=args.zeta_k,
+                    window_size=args.window_size,
+                    max_ref_count=args.max_ref_count,
+                    min_interval_length=args.min_interval_length,
+                    endianness=args.endianness,
                 )
             )
         )
