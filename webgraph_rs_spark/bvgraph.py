@@ -1341,6 +1341,18 @@ def write_bvgraph(
     of graph size; ``max_resident_payload`` in the returned stats is the
     observed bound.
 
+    Cost model at scale: the per-range compressor is pure Python at
+    ~30k nodes/s/core (measured on cnr-2000) — an export, like the
+    ingest, is a one-time boundary crossing, and ranges parallelize
+    perfectly (1000 executor cores ≈ 3*10^7 nodes/s ≈ an hour per
+    10^11 nodes); the stitch streams at disk speed with O(chunk) driver
+    memory, serialized only because the single-file ``.graph`` format
+    is one bitstream. Note the achieved ratio is a property of the
+    GRAPH: locality-rich web crawls reach ~3 bits/arc, hash-random
+    graphs (e.g. the synthetic bench graph) have no copy/interval
+    structure and honestly land near the gap-coding entropy (~19
+    bits/arc at 2^16 nodes).
+
     Returns summary stats ({"bits", "bits_per_link", "avgref", ...}).
     """
     import pandas as pd
