@@ -628,6 +628,21 @@ def _q_scc(spark, sf):
     return strongly_connected_components(g).labels
 
 
+def _q_scc_condensation(spark, sf):
+    """Arcs of the condensation DAG (distinct cross-SCC label pairs) —
+    the reference consumer's follow-up to webgraph-sccs."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import functional_graph
+    from webgraph_rs_spark.algorithms import (
+        condensation,
+        strongly_connected_components,
+    )
+
+    g = functional_graph(spark, sf)
+    labels = strongly_connected_components(g).labels
+    return condensation(g, labels)
+
+
 def _q_scc_dense(spark, sf):
     _import_engine()
     from webgraph_rs_spark.testgraphs import lineitem_graph
@@ -861,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back into the long-green tail).
     never_gated = {
         "bfs_events_from_0": _q_bfs_events,
+        "scc_condensation": _q_scc_condensation,
         "events_window": _q_events_window,
         "page_text_extraction": _q_page_text,
         "page_link_extraction": _q_page_links,
@@ -1028,6 +1044,13 @@ SELECT count(*)::BIGINT AS arcs, round(avg(gap), 6)::DOUBLE AS avg_gap,
 FROM gp
 """,
         "scc_labels": _scc_sql(SQL_FUNC_EDGES),
+        "scc_condensation": _scc_sql(SQL_FUNC_EDGES).replace(
+            "SELECT id, label FROM fin",
+            """, le AS (SELECT f1.label AS src, f2.label AS dst
+         FROM e JOIN fin f1 ON e.src = f1.id JOIN fin f2 ON e.dst = f2.id
+         WHERE f1.label != f2.label)
+SELECT DISTINCT src, dst FROM le""",
+        ),
         "scc_labels_dense": _scc_sql(SQL_EDGES),
         "scc_renumbered": _scc_sql(SQL_FUNC_EDGES, renumber=True),
         "sumsweep_radius_diameter": "{0}\nSELECT min(ecc)::BIGINT AS radius, "
