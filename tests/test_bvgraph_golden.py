@@ -592,3 +592,68 @@ def test_cli_to_endianness_roundtrip(spark, tmp_path):
     assert read_properties(le + ".properties").endianness == "little"
     g2 = read_bvgraph(spark, le, canonical=False)
     assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == sorted(edges)
+
+
+def test_codec_property_roundtrip_hypothesis():
+    """Property-based codec roundtrip (the reference fuzzes its codecs
+    with proptest; hypothesis is the Python analogue): any sequence of
+    (code, value) ops written by the BE/LE writers is read back exactly
+    by the matching reader, and BitCounter agrees with the writer on the
+    exact bit length."""
+    from hypothesis import given, settings, strategies as st
+
+    from webgraph_rs_spark.bvgraph import (
+        BitCounter,
+        BitReader,
+        BitWriter,
+        LEBitReader,
+        LEBitWriter,
+    )
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["gamma", "unary", "zeta1", "zeta3", "delta"]),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(ops=ops, little=st.booleans())
+    def run(ops, little):
+        w = LEBitWriter() if little else BitWriter()
+        c = BitCounter()
+        norm = []
+        for op, v in ops:
+            if op == "unary":
+                v = v % 500
+            norm.append((op, v))
+            for sink in (w, c):
+                if op == "gamma":
+                    sink.write_gamma(v)
+                elif op == "unary":
+                    sink.write_unary(v)
+                elif op == "zeta1":
+                    sink.write_zeta(v, 1)
+                elif op == "zeta3":
+                    sink.write_zeta(v, 3)
+                else:
+                    sink.write_delta(v)
+        assert w.bits == c.bits
+        r = (LEBitReader if little else BitReader)(w.to_bytes())
+        for op, v in norm:
+            if op == "gamma":
+                got = r.read_gamma()
+            elif op == "unary":
+                got = r.read_unary()
+            elif op == "zeta1":
+                got = r.read_zeta(1)
+            elif op == "zeta3":
+                got = r.read_zeta(3)
+            else:
+                got = r.read_delta()
+            assert got == v, (op, v, got)
+        assert r.pos == w.bits
+
+    run()
