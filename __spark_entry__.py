@@ -868,13 +868,36 @@ def _q_page_links(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER is deliberate: if the driver's correctness run samples or
-    # caps the registry, the entries that have NOT yet appeared in a
-    # CORRECTNESS_r* run must execute FIRST; the long-green core queries
-    # come after. r4 priority set = the 17 queries CORRECTNESS_r03's
-    # 50-query cap did not reach (r3's priority set all ran and moved
-    # back into the long-green tail).
-    never_gated = {
+    # Dict ORDER is deliberate: the driver's correctness run caps at 50 of
+    # the registry's entries, so the queries that did NOT get a driver row
+    # in the previous round's CORRECTNESS_r* run must execute FIRST; the
+    # just-gated queries rotate to the tail. r5 priority set = the 19
+    # queries CORRECTNESS_r04's cap did not reach (exactly the registry
+    # keys absent from that file — pinned by tests/test_registry.py
+    # ``test_rotation_covers_last_rounds_missed_queries``), plus any query
+    # newly added this round (never driver-gated at all).
+    r5_priority = {
+        "bv_cnr2000_stats": _q_bv_stats,
+        "topo_levels": _q_topo,
+        "intern_string_graph": _q_intern,
+        "perm_compose": _q_perm_compose,
+        **{
+            k: v
+            for k, v in _TEXTOPS_QUERIES.items()
+            if k
+            in (
+                "ivf_ann_topk",
+                "multimodal_meta",
+                "frame_sample_meta",
+                "audio_features",
+                "rolling_fingerprints",
+                "duplicate_spans",
+            )
+        },
+        **_DIST_QUERIES,
+    }
+    return {
+        **r5_priority,
         "bfs_events_from_0": _q_bfs_events,
         "scc_condensation": _q_scc_condensation,
         "events_window": _q_events_window,
@@ -883,27 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{
             k: v
             for k, v in _TEXTOPS_QUERIES.items()
-            if k
-            in (
-                "dedup_exact",
-                "doc_fingerprint",
-                "token_count",
-                "quality_score",
-                "lang_id",
-                "minhash_signatures",
-                "minhash_lsh_dups",
-                "ngram_jaccard_dups",
-                "simhash",
-                "simhash_near_dups",
-                "cosine_topk",
-                "lsh_buckets",
-                "embedding_near_dups",
-                "ivf_cells",
-            )
+            if k not in r5_priority
         },
-    }
-    return {
-        **never_gated,
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
         "graph_stats": _q_stats,
@@ -935,12 +939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sumsweep_radius_diameter": _q_sumsweep_rd,
         "sumsweep_ecc_all": _q_sumsweep_ecc,
         "sumsweep_ecc_backward": _q_sumsweep_becc,
-        "bv_cnr2000_stats": _q_bv_stats,
-        "topo_levels": _q_topo,
-        "intern_string_graph": _q_intern,
-        "perm_compose": _q_perm_compose,
-        **_TEXTOPS_QUERIES,
-        **_DIST_QUERIES,
     }
 
 
@@ -2051,6 +2049,43 @@ def _q_hyperball_weighted(spark, sf):
     )
 
 
+def _q_hyperball_discounted(spark, sf):
+    """Discounted-centrality HyperBall (``discounted_centrality``,
+    hyperball.rs: per-iteration accumulator growing by discount(t) *
+    ball increment): with discount f(t) = 2^-t the estimate is gated
+    against the exact oracle sum_{v: 0 < d(root,v) < inf} 2^-d(root,v)
+    from all-pairs distances, zero violations at a 15% bound (the same
+    acceptance pattern as hyperball_centralities; sketches are
+    deterministic so the count is stable)."""
+    _import_engine()
+    from webgraph_rs_spark.testgraphs import orders_graph
+    from webgraph_rs_spark.algorithms.distances import (
+        all_pairs_distances,
+        hyperball,
+    )
+
+    g = orders_graph(spark, sf)
+    hb = hyperball(g, max_iter=16, discounts={"exp2": lambda t: 2.0 ** -t})
+    d = all_pairs_distances(g).distances  # (root, id, distance)
+    exact = d.groupBy(F.col("root").alias("id")).agg(
+        F.sum(
+            F.when(
+                F.col("distance") > 0, F.pow(F.lit(2.0), -F.col("distance"))
+            ).otherwise(F.lit(0.0))
+        ).alias("exp2_exact")
+    )
+    j = hb.centralities.join(exact, "id")
+    rel = lambda est, ex: F.abs(F.col(est) - F.col(ex)) / F.greatest(  # noqa: E731
+        F.col(ex).cast("double"), F.lit(1.0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("nodes"),
+        F.sum(
+            F.when(rel("exp2_est", "exp2_exact") > 0.15, 1).otherwise(0)
+        ).cast("long").alias("disc_viol"),
+    )
+
+
 def _q_llp(spark, sf):
     """LLP permutation validity, SQL-gated: the permutation must be a
     bijection onto the contiguous range 0..n-1, and the combined labeling's
@@ -2084,6 +2119,7 @@ _DIST_QUERIES = {
     "radius_diameter": _q_radius_diameter,
     "hyperball_centralities": _q_hyperball,
     "hyperball_weighted": _q_hyperball_weighted,
+    "hyperball_discounted": _q_hyperball_discounted,
     "llp_permutation": _q_llp,
 }
 
@@ -2152,6 +2188,10 @@ FROM range(1024)
         "hyperball_weighted": """
 SELECT count(*)::BIGINT AS nodes, 0::BIGINT AS reach_viol,
        0::BIGINT AS sumdist_viol
+FROM range(1024)
+""",
+        "hyperball_discounted": """
+SELECT count(*)::BIGINT AS nodes, 0::BIGINT AS disc_viol
 FROM range(1024)
 """,
         "llp_permutation": """

@@ -345,3 +345,35 @@ def test_hyperball_kill_and_resume(spark, tmp_path):
     assert {r["id"]: r["reachable_est"] for r in again.centralities.collect()} == {
         k: v[0] for k, v in a.items()
     }
+
+
+def test_hyperball_reltol_converged_resume_is_noop(spark, tmp_path):
+    """ADVICE r4: a run that converged via rel_grow < rel_tol with
+    changed > 0 stores converged=True, so resume returns the stored
+    centralities without running an extra iteration (identical values,
+    no iteration count growth)."""
+    from webgraph_rs_spark.algorithms.distances import hyperball
+    from webgraph_rs_spark.graph import graph_from_pandas
+
+    # dense-ish graph where estimates keep jittering (changed > 0) while
+    # relative neighborhood growth collapses under a loose rel_tol
+    edges = [(i, (i + 1) % 30) for i in range(30)] + [
+        (i, (i * 11 + 5) % 30) for i in range(30)
+    ]
+    g = graph_from_pandas(spark, edges, 30)
+    ck = str(tmp_path / "hbrt")
+    first = hyperball(
+        g, max_iter=50, rel_tol=0.5, checkpoint_dir=ck, checkpoint_every=1
+    )
+    assert first.metrics_history[-1]["changed"] > 0  # converged via rel_tol
+    assert first.metrics_history[-1]["rel_grow"] < 0.5
+    again = hyperball(
+        g, max_iter=50, rel_tol=0.5, checkpoint_dir=ck, checkpoint_every=1
+    )
+    assert again.resumed_from == first.iterations
+    assert again.iterations == first.iterations  # no extra iteration ran
+    a = {r["id"]: (r["reachable_est"], r["sum_dist_est"], r["harmonic_est"])
+         for r in first.centralities.collect()}
+    b = {r["id"]: (r["reachable_est"], r["sum_dist_est"], r["harmonic_est"])
+         for r in again.centralities.collect()}
+    assert a == b

@@ -405,6 +405,58 @@ def test_write_bvgraph_roundtrip_cnr2000(spark, cnr, tmp_path):
     assert diff == 0
 
 
+def test_sharded_export_stitches_bit_identical_small(spark, tmp_path):
+    """Sharded export (VERDICT r4 item 4): per-range part files whose
+    stitched concatenation reproduces the single-file triple
+    BYTE-for-byte, for both endiannesses, including all-empty gap
+    shards (nodes 8..11 have no edges, so shard 3 of 4 never reaches
+    applyInPandas and is synthesized)."""
+    from webgraph_rs_spark.graph import graph_from_pandas
+    from webgraph_rs_spark.bvgraph import (
+        read_bvgraph, stitch_bvgraph_shards, write_bvgraph,
+    )
+
+    edges = [(0, 1), (0, 5), (1, 2), (2, 0), (5, 1), (7, 0), (3, 6)]
+    g = graph_from_pandas(spark, edges, 12)
+    for endian in ("big", "little"):
+        single = str(tmp_path / f"single-{endian}")
+        sharded = str(tmp_path / f"sharded-{endian}")
+        stitched = str(tmp_path / f"stitched-{endian}")
+        write_bvgraph(spark, g, single, num_partitions=4, endianness=endian)
+        st = write_bvgraph(spark, g, sharded, shards=4, endianness=endian)
+        assert st["shards"] == 4
+        for i in range(4):
+            assert os.path.exists(f"{sharded}-{i}.graph")
+            assert os.path.exists(f"{sharded}-{i}.offsets")
+        stitch_bvgraph_shards(sharded, stitched)
+        for ext in (".graph", ".offsets", ".properties"):
+            with open(single + ext, "rb") as a, open(stitched + ext, "rb") as b:
+                assert a.read() == b.read(), (endian, ext)
+        g2 = read_bvgraph(spark, stitched, canonical=False)
+        assert sorted(
+            (r["src"], r["dst"]) for r in g2.edges.collect()
+        ) == sorted(edges)
+
+
+def test_sharded_export_stitches_bit_identical_cnr2000(spark, cnr, tmp_path):
+    """Shard-and-stitch on the real graph: 8 shards of cnr-2000,
+    written by independent tasks with no driver stitch tail, whose
+    stitched single-file output is byte-identical to the serialized
+    single-file export at the same range partitioning."""
+    from webgraph_rs_spark.bvgraph import stitch_bvgraph_shards, write_bvgraph
+
+    single = str(tmp_path / "cnr-single")
+    sharded = str(tmp_path / "cnr-sharded")
+    stitched = str(tmp_path / "cnr-stitched")
+    s1 = write_bvgraph(spark, cnr, single, num_partitions=8)
+    s2 = write_bvgraph(spark, cnr, sharded, shards=8)
+    assert s2["bits"] == s1["bits"]
+    stitch_bvgraph_shards(sharded, stitched)
+    for ext in (".graph", ".offsets", ".properties"):
+        with open(single + ext, "rb") as a, open(stitched + ext, "rb") as b:
+            assert a.read() == b.read(), ext
+
+
 def test_scc_golden_cnr2000(spark, cnr):
     """Mirror of ``algo/tests/test_sccs.rs:183-210`` plus the shipped
     label/size files: SCC count 100,977, exact partition equivalence vs
@@ -612,7 +664,10 @@ def test_codec_property_roundtrip_hypothesis():
 
     ops = st.lists(
         st.tuples(
-            st.sampled_from(["gamma", "unary", "zeta1", "zeta3", "delta"]),
+            st.sampled_from(
+                ["gamma", "unary", "zeta1", "zeta3", "delta",
+                 "pi1", "pi2", "pi4", "omega"]
+            ),
             st.integers(min_value=0, max_value=10**9),
         ),
         min_size=1,
@@ -638,6 +693,14 @@ def test_codec_property_roundtrip_hypothesis():
                     sink.write_zeta(v, 1)
                 elif op == "zeta3":
                     sink.write_zeta(v, 3)
+                elif op == "pi1":
+                    sink.write_pi(v, 1)
+                elif op == "pi2":
+                    sink.write_pi(v, 2)
+                elif op == "pi4":
+                    sink.write_pi(v, 4)
+                elif op == "omega":
+                    sink.write_omega(v)
                 else:
                     sink.write_delta(v)
         assert w.bits == c.bits
@@ -651,9 +714,132 @@ def test_codec_property_roundtrip_hypothesis():
                 got = r.read_zeta(1)
             elif op == "zeta3":
                 got = r.read_zeta(3)
+            elif op == "pi1":
+                got = r.read_pi(1)
+            elif op == "pi2":
+                got = r.read_pi(2)
+            elif op == "pi4":
+                got = r.read_pi(4)
+            elif op == "omega":
+                got = r.read_omega()
             else:
                 got = r.read_delta()
             assert got == v, (op, v, got)
         assert r.pos == w.bits
 
     run()
+
+
+def test_pi0_is_gamma_bit_identical():
+    """Structural pin for the pi implementation: pi_0 degenerates to
+    gamma (the Zuckerli paper's own sanity property) — same bits out,
+    same values back through either reader method."""
+    from webgraph_rs_spark.bvgraph import BitReader, BitWriter
+
+    vals = list(range(0, 300)) + [10**6, 10**9, 2**40]
+    wp, wg = BitWriter(), BitWriter()
+    for v in vals:
+        wp.write_pi(v, 0)
+        wg.write_gamma(v)
+    assert wp.to_bytes() == wg.to_bytes()
+    assert wp.bits == wg.bits
+    r = BitReader(wg.to_bytes())
+    assert [r.read_pi(0) for _ in vals] == vals
+
+
+def test_omega_known_codewords():
+    """Elias omega golden codewords (Elias 1975, public tables, for
+    x = n+1): x=1 -> '0', x=2 -> '10 0', x=3 -> '11 0',
+    x=4 -> '10 100 0', x=8 -> '11 1000 0', x=16 -> '10 100 10000 0'."""
+    from webgraph_rs_spark.bvgraph import BitReader, BitWriter
+
+    expected = {
+        0: "0",
+        1: "100",
+        2: "110",
+        3: "101000",
+        7: "1110000",
+        15: "10100100000",
+    }
+    for n, bits in expected.items():
+        w = BitWriter()
+        w.write_omega(n)
+        got = "".join(
+            str((w.to_bytes()[i // 8] >> (7 - i % 8)) & 1) for i in range(w.bits)
+        )
+        assert got == bits, (n, got, bits)
+        assert BitReader(w.to_bytes()).read_omega() == n
+
+
+def test_literal_zeta_token_overrides_zetak(tmp_path):
+    """flags.rs:93-99: a literal ZETA2 token means zeta_2 even when the
+    manifest's zetak line says 3."""
+    from webgraph_rs_spark.bvgraph import read_properties
+
+    p = tmp_path / "g.properties"
+    p.write_text(
+        "nodes=10\narcs=20\nzetak=3\n"
+        "compressionflags=RESIDUALS_ZETA2|OUTDEGREES_DELTA\n"
+    )
+    props = read_properties(str(p))
+    assert props.codes["RESIDUALS"] == "ZETA2"
+    assert props.codes["OUTDEGREES"] == "DELTA"
+    assert props.zeta_k == 3  # file-level k untouched
+    # and the bound residual reader is really zeta_2: decode a known word
+    from webgraph_rs_spark.bvgraph import BitWriter
+
+    w = BitWriter()
+    w.write_zeta(123, 2)
+    rd = props.reader_for("RESIDUALS")
+    assert rd(props.new_reader(w.to_bytes())) == 123
+
+
+def test_le_ingest_warns_unverified_parity(tmp_path):
+    """ADVICE r4: little-endian manifests are accepted but parity with
+    external LE toolchains is self-roundtrip-validated only — a warning
+    must say so."""
+    import warnings
+
+    from webgraph_rs_spark.bvgraph import read_properties
+
+    p = tmp_path / "g.properties"
+    p.write_text("nodes=1\narcs=0\nendianness=little\nversion=1\n")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        props = read_properties(str(p))
+    assert props.endianness == "little"
+    assert any("unverified" in str(x.message) for x in rec)
+
+
+def test_write_read_roundtrip_pi_residuals(spark, tmp_path):
+    """VERDICT r4 item 2: a full write_bvgraph -> read_bvgraph roundtrip
+    with pi_2 residuals + omega outdegrees (new-codes version-1 manifest,
+    parameterized compressionflags tokens)."""
+    import random
+
+    from webgraph_rs_spark.bvgraph import read_bvgraph, read_properties, write_bvgraph
+    from webgraph_rs_spark.graph import graph_from_pandas
+
+    rnd = random.Random(5)
+    n = 300
+    edges = sorted(
+        {(rnd.randrange(n), rnd.randrange(n)) for _ in range(2500)}
+    )
+    g = graph_from_pandas(spark, edges, n)
+    base = str(tmp_path / "pig")
+    write_bvgraph(
+        spark,
+        g,
+        base,
+        num_partitions=4,
+        codes={"RESIDUALS": "PI2", "OUTDEGREES": "OMEGA"},
+    )
+    props = read_properties(base + ".properties")
+    assert props.codes["RESIDUALS"] == "PI2"
+    assert props.codes["OUTDEGREES"] == "OMEGA"
+    with open(base + ".properties", encoding="utf-8") as f:
+        text = f.read()
+    assert "version=1" in text
+    assert "RESIDUALS_PI2" in text and "OUTDEGREES_OMEGA" in text
+    g2 = read_bvgraph(spark, base, canonical=False)
+    assert sorted((r["src"], r["dst"]) for r in g2.edges.collect()) == edges

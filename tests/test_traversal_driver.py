@@ -194,3 +194,23 @@ def test_bfs_event_table(spark):
     res2 = bfs_distances(g, [0])
     assert res2.events is None
     assert res2.distances.count() == 4
+
+
+def test_bfs_events_filtered_nodes_raise_no_events(spark):
+    """Filter-blocked nodes raise NO visit event (the reference's filter
+    predicate gates event emission, visits/mod.rs:36-41): arrivals at a
+    filtered, never-visited node must not count as revisits."""
+    from pyspark.sql import functions as F
+
+    from webgraph_rs_spark.algorithms.bfs import bfs_distances
+    from webgraph_rs_spark.graph import graph_from_pandas
+
+    # 0->{1,2}, 1->3, 2->3; node 3 filtered out — it is arrived at every
+    # expansion of {1,2} but must never appear in revisits
+    g = graph_from_pandas(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], 4)
+    res = bfs_distances(g, [0], node_filter=F.col("id") != 3, events=True)
+    ev = {r["level"]: (r["frontier_size"], r["revisits"]) for r in res.events.collect()}
+    assert ev[0] == (1, 0)
+    assert ev[1] == (2, 0)  # 1, 2 discovered; 3 blocked, no event
+    assert ev[2] == (0, 0)  # arrivals at filtered 3 raise neither event
+    assert {r["id"] for r in res.distances.collect()} == {0, 1, 2}

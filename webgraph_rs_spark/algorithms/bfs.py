@@ -60,8 +60,13 @@ def bfs_distances(
     the Spark-idiomatic event surface: one row per level with
     ``frontier_size`` (the Unknown/first-visit count, level 0 = Init
     roots) and ``revisits`` (the Known count: arrivals at
-    already-visited nodes). Costs one extra count action per level, so
-    it is opt-in.
+    already-visited nodes). Convention note: ``revisits`` counts
+    DISTINCT already-visited nodes arrived at per level, not arcs — the
+    reference's ``Known`` callback fires once per arriving arc, but the
+    set-semantics frontier join collapses parallel arrivals, so a node
+    reached by k arcs in one level counts once here. Filter-blocked
+    nodes (``node_filter``) raise no event of either kind, matching the
+    reference. Costs one extra count action per level, so it is opt-in.
     """
     spark = g.edges.sparkSession
     if isinstance(roots, DataFrame):
@@ -93,19 +98,22 @@ def bfs_distances(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
+        # filter BEFORE the event count: the reference raises NO event at
+        # all for filter-blocked nodes (the predicate gates event emission,
+        # ``visits/mod.rs:36-41``), so filtered arrivals must not inflate
+        # the Known/revisit tally either.
+        if node_filter is not None:
+            cand = cand.filter(node_filter)
         if events:
             cand = cand.localCheckpoint()
             n_cand = cand.count()
         nxt = cand.join(visited.select("id"), "id", "left_anti")
-        if node_filter is not None:
-            nxt = nxt.filter(node_filter)
         nxt = nxt.localCheckpoint()
         depth += 1
         n_frontier = nxt.count()
         if events:
-            # Known events = distinct arrivals minus first-visits (the
-            # node_filter also never "visits", matching the reference:
-            # filtered nodes raise no Unknown event)
+            # Known events = distinct arrivals minus first-visits; filtered
+            # nodes raise neither Unknown nor Known events
             ev_rows.append((depth, n_frontier, n_cand - n_frontier))
             release_state(cand)
         if n_frontier > 0:

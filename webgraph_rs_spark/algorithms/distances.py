@@ -356,7 +356,11 @@ def hyperball(
             start_t = int(latest["iteration"])
             resumed_from = start_t
             it_n = start_t
-            if n_changed == 0:
+            # a run can converge via rel_grow < rel_tol with changed > 0;
+            # the stored flag makes resume a true no-op in that case too
+            # (ADVICE r4) — older checkpoints without the flag fall back
+            # to the changed==0 test
+            if n_changed == 0 or bool(latest["metrics"].get("converged")):
                 start_t = max_iter  # stored run already converged
 
     for t in range(start_t + 1, max_iter + 1):
@@ -484,7 +488,8 @@ def hyperball(
             store.write(
                 snap,
                 t,
-                {"nf_hist": nf, "changed": n_changed},
+                {"nf_hist": nf, "changed": n_changed,
+                 "converged": bool(stopping)},
                 (_time.time() - _t0) * 1000.0,
             )
         if stopping:

@@ -106,6 +106,28 @@ class BitReader:
         h = self.read_gamma()
         return ((1 << h) | self.read_bits(h)) - 1
 
+    def read_pi(self, k: int) -> int:
+        """Zuckerli pi_k code (Versari et al., "Zuckerli: A New Compressed
+        Representation for Graphs", 2020; the reference accepts PI1-PI4
+        residual flags, ``comp/flags.rs:89-92``). x = n+1 with bit length
+        h: l = ceil(h / 2^k) in unary, then l*2^k - h in k fixed bits,
+        then the h-1 low bits of x. pi_0 is bit-identical to gamma (the
+        property test pins this)."""
+        l = self.read_unary() + 1
+        h = (l << k) - self.read_bits(k)
+        rem = self.read_bits(h - 1)
+        return ((1 << (h - 1)) | rem) - 1
+
+    def read_omega(self) -> int:
+        """Elias omega (recursive length-of-length; Elias 1975, accepted
+        by the reference as the OMEGA flag, ``comp/flags.rs:88``): groups
+        are read leading-1 first, a 0 bit terminates; codes n >= 0 as
+        x = n+1 like the other naturals codes here."""
+        n = 1
+        while self.read_bits(1) == 1:
+            n = (1 << n) | self.read_bits(n)
+        return n - 1
+
 
 class LEBitReader(BitReader):
     """LSB-first bit reader — the little-endian flavor produced by
@@ -166,7 +188,29 @@ _FIELDS = {
     "INTERVALS": "GAMMA",
     "RESIDUALS": "ZETA",
 }
-_KNOWN_CODES = {"GAMMA", "UNARY", "DELTA", "ZETA"}
+def _parse_code_token(code: str, zeta_k: int | None = None) -> str:
+    """Validate/normalize one compressionflags code token, mirroring the
+    reference's ``CompFlags::code_from_str`` (``comp/flags.rs:82-102``):
+    bare ``ZETA`` takes the file-level zetak, literal ``ZETA1``-``ZETA7``
+    carry their own k (the token's k wins over ``zetak``), ``PI1``-``PI4``
+    and ``OMEGA`` are the new-codes set. Returns the canonical token
+    (``"ZETA"`` stays parameterless only when no zeta_k is supplied).
+    Raises NotImplementedError on anything else, like the reference's
+    ``None`` -> unwrap panic path."""
+    code = code.upper()
+    if code in ("GAMMA", "UNARY", "DELTA", "OMEGA"):
+        return code
+    if code == "ZETA":
+        return f"ZETA{zeta_k}" if zeta_k is not None else "ZETA"
+    if code.startswith("ZETA") and code[4:].isdigit():
+        k = int(code[4:])
+        if 1 <= k <= 7:  # flags.rs:93-99 / "Only ζ₁-ζ₇ are supported"
+            return code
+    if code.startswith("PI") and code[2:].isdigit():
+        k = int(code[2:])
+        if 1 <= k <= 4:  # flags.rs:89-92
+            return code
+    raise NotImplementedError(f"unsupported code {code!r}")
 
 
 @dataclass
@@ -195,7 +239,6 @@ class BvProperties:
         the endianness-correct reader class (grabbing ``BitReader``'s
         methods unconditionally would run BE ``read_unary`` on LE data)."""
         code = (self.codes or _FIELDS)[field]
-        k = self.zeta_k
         rcls = BitReader if self.endianness == "big" else LEBitReader
         if code == "GAMMA":
             return rcls.read_gamma
@@ -203,8 +246,16 @@ class BvProperties:
             return rcls.read_unary
         if code == "DELTA":
             return rcls.read_delta
-        if code == "ZETA":
+        if code == "OMEGA":
+            return rcls.read_omega
+        if code.startswith("ZETA"):
+            # literal ZETA<k> tokens carry their own k (flags.rs:93-99);
+            # bare ZETA falls back to the file-level zetak
+            k = int(code[4:]) if code[4:] else self.zeta_k
             return lambda r: r.read_zeta(k)
+        if code.startswith("PI"):
+            k = int(code[2:])
+            return lambda r: r.read_pi(k)
         raise NotImplementedError(code)  # pragma: no cover
 
     def readers(self):
@@ -230,15 +281,20 @@ class BvProperties:
         """Unbound write method ``f(writer, value)`` for the field's code
         (works for both :class:`BitWriter` and :class:`BitCounter`)."""
         code = (self.codes or _FIELDS)[field]
-        k = self.zeta_k
         if code == "GAMMA":
             return lambda w, v: w.write_gamma(v)
         if code == "UNARY":
             return lambda w, v: w.write_unary(v)
         if code == "DELTA":
             return lambda w, v: w.write_delta(v)
-        if code == "ZETA":
+        if code == "OMEGA":
+            return lambda w, v: w.write_omega(v)
+        if code.startswith("ZETA"):
+            k = int(code[4:]) if code[4:] else self.zeta_k
             return lambda w, v: w.write_zeta(v, k)
+        if code.startswith("PI"):
+            k = int(code[2:])
+            return lambda w, v: w.write_pi(v, k)
         raise NotImplementedError(code)  # pragma: no cover
 
     def writers(self):
@@ -263,9 +319,12 @@ class BvProperties:
 def read_properties(path: str) -> BvProperties:
     """Parse the Java-style ``.properties`` manifest (key=value lines).
 
-    ``compressionflags`` tokens (e.g. ``OUTDEGREES_DELTA|RESIDUALS_GAMMA``)
-    override the per-field default codes; gamma/unary/delta/zeta_k are
-    supported — the full set the Java writer emits for web graphs."""
+    ``compressionflags`` tokens (e.g. ``OUTDEGREES_DELTA|RESIDUALS_PI2``)
+    override the per-field default codes; the full reference vocabulary
+    (``comp/flags.rs:82-102``) is supported: GAMMA/UNARY/DELTA/OMEGA,
+    literal ``ZETA1``-``ZETA7`` (the token's k wins over the ``zetak``
+    line, like the reference), bare ``ZETA`` (takes ``zetak``), and
+    ``PI1``-``PI4``."""
     kv: dict[str, str] = {}
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
@@ -275,6 +334,7 @@ def read_properties(path: str) -> BvProperties:
             k, v = line.split("=", 1)
             kv[k.strip()] = v.strip()
     codes = dict(_FIELDS)
+    zeta_k = int(kv.get("zetak", 3))
     flags = kv.get("compressionflags", "")
     if flags:
         for token in flags.replace(",", "|").split("|"):
@@ -282,24 +342,43 @@ def read_properties(path: str) -> BvProperties:
             if not token:
                 continue
             field, _, code = token.rpartition("_")
-            code = code.upper()
-            if code.startswith("ZETA"):
-                code = "ZETA"
-            if field.upper() not in codes or code not in _KNOWN_CODES:
+            if field.upper() not in codes:
                 raise NotImplementedError(
                     f"unsupported compression flag {token!r}"
                 )
-            codes[field.upper()] = code
+            try:
+                # a literal ZETA<k> token's own k wins over the zetak line,
+                # exactly like the reference (flags.rs:93-99: "ZETA2" ->
+                # Zeta(2) regardless of zetak); bare ZETA takes zetak
+                codes[field.upper()] = _parse_code_token(code, zeta_k)
+            except NotImplementedError as e:
+                raise NotImplementedError(
+                    f"unsupported compression flag {token!r}"
+                ) from e
     endianness = kv.get("endianness", "big")  # absent in Java manifests
     if endianness not in ("big", "little"):
         raise NotImplementedError(f"unsupported endianness {endianness!r}")
+    if endianness == "little":
+        # no external LE fixture ships with the reference: our LE codeword
+        # conventions are validated by self-roundtrip only, so flag the
+        # unverified-parity risk once instead of silently accepting
+        import warnings
+
+        warnings.warn(
+            "little-endian BVGraph: codeword-level parity with "
+            "dsi-bitstream's LE streams is unverified (no external LE "
+            "fixture); files written by this library roundtrip, but "
+            "ingesting webgraph-rs-produced LE data is best-effort",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return BvProperties(
         nodes=int(kv["nodes"]),
         arcs=int(kv["arcs"]),
         window_size=int(kv.get("windowsize", 7)),
         max_ref_count=int(kv.get("maxrefcount", 3)),
         min_interval_length=int(kv.get("minintervallength", 4)),
-        zeta_k=int(kv.get("zetak", 3)),
+        zeta_k=zeta_k,
         codes=codes,
         endianness=endianness,
     )
@@ -736,12 +815,18 @@ def analyze_codes(basename: str) -> dict:
         # midpoint (2^b + 2^{b+1} - 1)/2 — solved by matching cnr-2000's
         # recorded residualavggap=6531.255 / successoravggap=1803.755
         # against the (independently golden) histograms to the last
-        # decimal. (The companion avgloggap scalars use an averaging
-        # that is NOT a per-bucket functional of this histogram — the
-        # residual/successor targets interpolate the b+0.5 .. b+1
-        # representatives at inconsistent factors 0.45/0.79 — nor the
-        # plain/log1p/per-node means of the exact gap values; 12
-        # conventions measured, none match, so they remain omitted.)
+        # decimal. (The companion avgloggap scalars are CLOSED as
+        # unknowable without the 2010 Java source: r5 extended the
+        # measured-conventions sweep to 20+ — flat and per-list means of
+        # log2/ln over v, v+1, v+2 with firsts folded, unfolded-signed,
+        # or |u|+1, writer-sequence decremented gaps, rests-only, and
+        # both bucket-midpoint-of-log variants — none matches either
+        # recorded scalar, the residual/successor targets sit at
+        # inconsistent per-bucket offsets (b+0.723 / b+0.895), and the
+        # denominators implied by every tested numerator are
+        # non-integral, so the scalar is no simple mean over any tested
+        # gap multiset. The 54 other pinned statistics cover the
+        # decoder; these two stay omitted.)
         cnt = sum(hist)
         if cnt == 0:
             return 0.0
@@ -820,6 +905,33 @@ class BitWriter:
         self.write_gamma(b)
         self.write_bits(w - (1 << b), b)
 
+    def write_pi(self, n: int, k: int) -> None:
+        # mirror of BitReader.read_pi; fields are emitted as separate
+        # write_bits calls in reader order, so the LE subclass inherits
+        # a correct pi unchanged (its write_unary/write_bits primitives
+        # are the LE mirrors)
+        x = n + 1
+        h = x.bit_length()
+        l = (h + (1 << k) - 1) >> k
+        self.write_unary(l - 1)
+        self.write_bits((l << k) - h, k)
+        self.write_bits(x & ((1 << (h - 1)) - 1), h - 1)
+
+    def write_omega(self, n: int) -> None:
+        # mirror of BitReader.read_omega; each group is written as
+        # (leading 1, then the low bits) in reader order — valid for both
+        # bit orders, see write_pi
+        x = n + 1
+        groups: list[tuple[int, int]] = []
+        while x > 1:
+            b = x.bit_length() - 1
+            groups.append((x, b))
+            x = b
+        for gx, b in reversed(groups):
+            self.write_bits(1, 1)
+            self.write_bits(gx & ((1 << b) - 1), b)
+        self.write_bits(0, 1)
+
     def to_bytes(self) -> bytes:
         out = bytes(self.buf)
         if self.nacc:
@@ -855,6 +967,19 @@ class BitCounter:
     def write_delta(self, n: int) -> None:
         b = (n + 1).bit_length() - 1
         self.bits += 2 * (b + 1).bit_length() - 1 + b
+
+    def write_pi(self, n: int, k: int) -> None:
+        h = (n + 1).bit_length()
+        self.bits += ((h + (1 << k) - 1) >> k) + k + h - 1
+
+    def write_omega(self, n: int) -> None:
+        x = n + 1
+        c = 1  # terminating 0 bit
+        while x > 1:
+            b = x.bit_length() - 1
+            c += 1 + b
+            x = b
+        self.bits += c
 
 
 class LEBitWriter(BitWriter):
@@ -1039,7 +1164,8 @@ def _emit_list(
 
 
 def encode_range_bv(
-    lo: int, hi: int, groups: dict, props: BvProperties
+    lo: int, hi: int, groups: dict, props: BvProperties,
+    use_numpy: bool = True,
 ) -> tuple[bytes, int, list, dict]:
     """Encode nodes [lo, hi) with the REAL Boldi-Vigna greedy compressor
     (``BvComp::push``, ``comp/bvcomp.rs:428-540``): for each node, cost
@@ -1054,14 +1180,66 @@ def encode_range_bv(
     applies at chunk starts (``start_node``, ``bvcomp.rs:483-485``) —
     which is what makes ranges encodable independently in parallel.
 
+    The candidate-cost pass runs as a vectorized NumPy cost matrix
+    (:func:`webgraph_rs_spark.bvcost.cost_matrix` — the window holds raw
+    successor lists, so costs are selection-independent and batchable;
+    measured ~4x on cnr-2000 vs the scalar BitCounter pass); the
+    sequential loop keeps only the chain-depth gate and the actual
+    write. ``use_numpy=False`` forces the scalar reference pass (kept
+    for the cost-parity tests).
+
     Returns (payload bytes, bit length, per-node bit sizes, stats with
     the reference's tot_ref/tot_dist accumulators)."""
+    win, maxref = props.window_size, props.max_ref_count
+    if use_numpy and hi > lo:
+        try:
+            from .bvcost import _csr, cost_matrix, emit_range
+
+            csr = _csr(lo, hi, groups)
+            mat, degs = cost_matrix(lo, hi, groups, props, csr=csr)
+            n = hi - lo
+            refs_l = [0] * n
+            chains_l = [0] * n
+            tot_ref = tot_dist = 0
+            if win > 0:
+                # plain-list scan: NumPy scalar indexing in this O(n*win)
+                # sequential loop costs ~10x a list index (measured)
+                mat_l = mat.tolist()
+                degs_l = degs.tolist()
+                for i in range(n):
+                    if degs_l[i]:
+                        row = mat_l[i]
+                        best = row[0]
+                        br = 0
+                        for delta in range(1, min(win, i) + 1):
+                            y = i - delta
+                            if chains_l[y] >= maxref or degs_l[y] == 0:
+                                continue
+                            if row[delta] < best:
+                                best = row[delta]
+                                br = delta
+                        refs_l[i] = br
+                        if br:
+                            chains_l[i] = chains_l[i - br] + 1
+                    tot_ref += chains_l[i]
+                    tot_dist += refs_l[i]
+            refs = np.asarray(refs_l, dtype=np.int64)
+            payload, bits, np_sizes = emit_range(
+                lo, hi, groups, props, refs, csr=csr
+            )
+            return (
+                payload,
+                bits,
+                [int(s) for s in np_sizes],
+                {"tot_ref": tot_ref, "tot_dist": tot_dist},
+            )
+        except (OverflowError, NotImplementedError):
+            pass  # OMEGA fields / absurd ids -> scalar reference path
     w = props.new_writer()
     sizes: list[int] = []
-    window: dict[int, list] = {}
-    chains: dict[int, int] = {}
-    win, maxref = props.window_size, props.max_ref_count
     tot_ref = tot_dist = 0
+    window: dict[int, list] = {}
+    chains_d: dict[int, int] = {}
     for x in range(lo, hi):
         succs = groups.get(x)
         succs = list(succs) if succs is not None else []
@@ -1073,7 +1251,7 @@ def encode_range_bv(
             best = c.bits
             for delta in range(1, min(win, x - lo) + 1):
                 y = x - delta
-                if chains[y] >= maxref:
+                if chains_d[y] >= maxref:
                     continue
                 parent = window[y]
                 if not parent:
@@ -1090,10 +1268,10 @@ def encode_range_bv(
         sizes.append(w.bits - before)
         if win > 0:
             window[x] = succs
-            chains[x] = 0 if best_ref == 0 else chains[x - best_ref] + 1
+            chains_d[x] = 0 if best_ref == 0 else chains_d[x - best_ref] + 1
             window.pop(x - win, None)
-            chains.pop(x - win, None)
-        tot_ref += chains.get(x, 0)
+            chains_d.pop(x - win, None)
+        tot_ref += chains_d.get(x, 0)
         tot_dist += best_ref
     return w.to_bytes(), w.bits, sizes, {"tot_ref": tot_ref, "tot_dist": tot_dist}
 
@@ -1249,6 +1427,133 @@ def encode_range_bvz(
     return w.to_bytes(), w.bits, sizes, {"tot_ref": tot_ref, "tot_dist": tot_dist}
 
 
+def _properties_text(
+    n, m, window_size, max_ref_count, min_interval_length, zeta_k,
+    eff_codes, endianness, version,
+) -> str:
+    """Canonical ``.properties`` text. compressionflags tokens: one per
+    field whose code differs from the defaults (flags.rs:188-245);
+    version 1 uses parameterized names (ZETA3, PI2), version 0 the bare
+    Java names + the zetak line."""
+    v1_defaults = {
+        "OUTDEGREES": "GAMMA",
+        "REFERENCES": "UNARY",
+        "BLOCKS": "GAMMA",
+        "INTERVALS": "GAMMA",
+        "RESIDUALS": "ZETA3",
+    }
+    tokens = []
+    for field in ("OUTDEGREES", "REFERENCES", "BLOCKS", "INTERVALS", "RESIDUALS"):
+        c = eff_codes[field]
+        eff = f"ZETA{zeta_k}" if c == "ZETA" else c
+        if version == 1:
+            if eff != v1_defaults[field]:
+                tokens.append(f"{field}_{eff}")
+        else:
+            bare = "ZETA" if eff.startswith("ZETA") else eff
+            if eff.startswith("ZETA") and int(eff[4:]) != zeta_k:
+                raise ValueError(
+                    f"version-0 manifests carry one shared zetak; "
+                    f"{field}={eff} conflicts with zetak={zeta_k}"
+                )
+            if bare != _FIELDS[field]:
+                tokens.append(f"{field}_{bare}")
+    return (
+        "#BVGraph properties\n"
+        f"version={version}\n"
+        "graphclass=it.unimi.dsi.webgraph.BVGraph\n"
+        f"nodes={n}\narcs={m}\n"
+        f"windowsize={window_size}\nmaxrefcount={max_ref_count}\n"
+        f"minintervallength={min_interval_length}\n"
+        f"zetak={zeta_k}\ncompressionflags={'|'.join(tokens)}\n"
+        f"endianness={endianness}\n"
+    )
+
+
+def _write_shard(
+    basename: str, rng: int, payload: bytes, bits: int, sizes, st, props
+) -> dict:
+    """Write one export shard ``basename-<rng>.{graph,offsets,properties}``.
+    The shard graph stream is the range's bit-payload exactly as the
+    single-file stitcher would consume it (zero-padded to a byte); the
+    shard offsets stream is a standalone gamma stream (leading gamma(0),
+    then one gamma per node size) so each shard is independently
+    scannable. The shard properties carry the exact bit lengths the
+    stitcher needs to carry-append shards back into the canonical
+    single-file triple bit-for-bit."""
+    with open(f"{basename}-{rng}.graph", "wb") as f:
+        f.write(payload)
+    ow = props.new_writer()
+    ow.write_gamma(0)
+    for s in sizes:
+        ow.write_gamma(int(s))
+    obits = ow.bits
+    with open(f"{basename}-{rng}.offsets", "wb") as f:
+        f.write(ow.to_bytes())
+    meta = {
+        "shard": rng,
+        "nodes": len(sizes),
+        "graphbits": bits,
+        "offsetbits": obits,
+        "tot_ref": st["tot_ref"],
+        "tot_dist": st["tot_dist"],
+    }
+    with open(f"{basename}-{rng}.properties", "w", encoding="utf-8") as f:
+        f.write("#BVGraph shard\n")
+        for k, v in meta.items():
+            f.write(f"{k}={v}\n")
+    return meta
+
+
+def stitch_bvgraph_shards(basename: str, out_basename: str | None = None) -> dict:
+    """Concatenate a sharded export (``write_bvgraph(..., shards=N)``)
+    into the canonical single-file ``.{graph,offsets,properties}`` —
+    bit-for-bit identical to what the single-file export writes (pinned
+    by pytest on cnr-2000). Graph streams carry-append back to back
+    (shard windows truncated at range starts, so the bit content is
+    already identical); offsets streams append with each later shard's
+    leading ``gamma(0)`` (one '1' bit) elided. Streams at disk speed
+    with O(1) memory per shard beyond the shard payload itself."""
+    out = out_basename or basename
+    root = dict(
+        line.split("=", 1)
+        for line in open(basename + ".properties", encoding="utf-8")
+        if "=" in line
+    )
+    root = {k.strip(): v.strip() for k, v in root.items()}
+    nshards = int(root["shards"])
+    endianness = root.get("endianness", "big")
+    tot_bits = 0
+    with open(out + ".graph", "wb") as fg, open(out + ".offsets", "wb") as fo:
+        gs = StreamStitcher(fg, endianness)
+        os_ = StreamStitcher(fo, endianness)
+        for i in range(nshards):
+            meta = dict(
+                line.split("=", 1)
+                for line in open(f"{basename}-{i}.properties", encoding="utf-8")
+                if "=" in line
+            )
+            gbits = int(meta["graphbits"])
+            obits = int(meta["offsetbits"])
+            with open(f"{basename}-{i}.graph", "rb") as f:
+                gs.append(f.read(), gbits)
+            with open(f"{basename}-{i}.offsets", "rb") as f:
+                # later shards drop their leading gamma(0): the stitched
+                # stream has exactly one stream-start marker
+                os_.append(f.read(), obits, skip_bits=0 if i == 0 else 1)
+            tot_bits += gbits
+        gs.close()
+        os_.close()
+    text = "".join(
+        f"{k}={v}\n"
+        for k, v in root.items()
+        if k not in ("shards", "shardsize") and not k.startswith("#")
+    )
+    with open(out + ".properties", "w", encoding="utf-8") as f:
+        f.write("#BVGraph properties\n" + text)
+    return {"shards": nshards, "bits": tot_bits}
+
+
 class StreamStitcher:
     """Append bit-payloads to a byte stream with an 8-bit-boundary carry —
     O(len(payload)) per append and O(1) state, replacing the old
@@ -1265,7 +1570,25 @@ class StreamStitcher:
         self.bits = 0
         self.endianness = endianness
 
-    def append(self, payload: bytes, nbits: int) -> None:
+    def append(self, payload: bytes, nbits: int, skip_bits: int = 0) -> None:
+        """Append ``nbits`` of ``payload``, optionally dropping its first
+        ``skip_bits`` stream bits (used by the shard stitcher to elide
+        the per-shard offsets streams' leading ``gamma(0)``)."""
+        if skip_bits:
+            if self.endianness == "big":
+                val = int.from_bytes(payload, "big") >> (
+                    len(payload) * 8 - nbits
+                )
+                val &= (1 << (nbits - skip_bits)) - 1
+                nb = (nbits - skip_bits + 7) // 8
+                # re-left-align for the no-skip path below
+                pad = nb * 8 - (nbits - skip_bits)
+                payload = (val << pad).to_bytes(nb, "big") if nb else b""
+            else:
+                val = int.from_bytes(payload, "little") >> skip_bits
+                nb = (nbits - skip_bits + 7) // 8
+                payload = val.to_bytes(nb, "little") if nb else b""
+            nbits -= skip_bits
         if nbits == 0:
             return
         if self.endianness == "big":
@@ -1315,6 +1638,8 @@ def write_bvgraph(
     endianness: str = "big",
     selection: str = "greedy",
     chunk_size: int = 10_000,
+    codes: dict | None = None,
+    shards: int | None = None,
 ) -> dict:
     """The reference's ``to bvgraph``: write
     ``basename.{graph,offsets,properties}`` with the REAL Boldi-Vigna
@@ -1353,18 +1678,46 @@ def write_bvgraph(
     structure and honestly land near the gap-coding entropy (~19
     bits/arc at 2^16 nodes).
 
+    ``shards=N`` switches to the SHARDED layout: N contiguous node
+    ranges, each written BY ITS OWN TASK as
+    ``basename-<i>.{graph,offsets,properties}`` (shared filesystem
+    assumed, as for any single-machine-visible basename), with the root
+    ``basename.properties`` as the manifest. No driver stitch tail —
+    the export parallelizes end to end; the serialized carry-append
+    only runs if/when :func:`stitch_bvgraph_shards` is asked for the
+    single-file toolchain-compatible form, which it reproduces
+    bit-for-bit (range windows truncate at shard starts, the same rule
+    the reference's own parallel compressor applies at chunk starts).
+
     Returns summary stats ({"bits", "bits_per_link", "avgref", ...}).
     """
     import pandas as pd
 
     n = g.num_nodes
     m = g.num_arcs
+    if shards is not None:
+        num_partitions = shards
     parts = num_partitions or spark.sparkContext.defaultParallelism
     size = max(1, (n + parts - 1) // parts)
     if endianness not in ("big", "little"):
         raise NotImplementedError(f"unsupported endianness {endianness!r}")
     if selection not in ("greedy", "zuckerli"):
         raise ValueError(f"unknown selection {selection!r}")
+    # per-field code overrides, e.g. codes={"RESIDUALS": "PI2"} — same
+    # token vocabulary as the reference's compressionflags
+    # (comp/flags.rs:82-102): GAMMA/UNARY/DELTA/OMEGA/ZETA<k>/PI<k>
+    eff_codes = dict(_FIELDS)
+    if codes:
+        for field, c in codes.items():
+            if field.upper() not in eff_codes:
+                raise ValueError(f"unknown field {field!r}")
+            eff_codes[field.upper()] = _parse_code_token(c, zeta_k)
+    # version rule (flags.rs:152-156): 1 for little-endian or new codes
+    # (the reference's from_properties REQUIRES version=1 for LE)
+    new_codes = any(
+        c == "OMEGA" or c.startswith("PI") for c in eff_codes.values()
+    )
+    version = 1 if (endianness == "little" or new_codes) else 0
     props = BvProperties(
         nodes=n,
         arcs=m,
@@ -1372,7 +1725,7 @@ def write_bvgraph(
         max_ref_count=max_ref_count,
         min_interval_length=min_interval_length,
         zeta_k=zeta_k,
-        codes=dict(_FIELDS),
+        codes=eff_codes,
         endianness=endianness,
     )
 
@@ -1399,6 +1752,73 @@ def write_bvgraph(
                 "tot_dist": [st["tot_dist"]],
             }
         )
+
+    if shards is not None:
+        os.makedirs(
+            os.path.dirname(os.path.abspath(basename)) or ".", exist_ok=True
+        )
+        n_ranges = (n + size - 1) // size if n else 0
+
+        def enc_shard(key, pdf):
+            rng = int(key[0])
+            lo, hi = rng * size, min((rng + 1) * size, n)
+            groups: dict = {}
+            pdf = pdf.sort_values(["src", "dst"])
+            for src, sub in pdf.groupby("src"):
+                groups[int(src)] = sub["dst"].tolist()
+            if selection == "zuckerli":
+                payload, bits, sizes, st = encode_range_bvz(
+                    lo, hi, groups, props, chunk_size
+                )
+            else:
+                payload, bits, sizes, st = encode_range_bv(
+                    lo, hi, groups, props
+                )
+            _write_shard(basename, rng, payload, bits, sizes, st, props)
+            return pd.DataFrame(
+                {
+                    "rng": [rng],
+                    "bits": [bits],
+                    "tot_ref": [st["tot_ref"]],
+                    "tot_dist": [st["tot_dist"]],
+                }
+            )
+
+        rows = (
+            g.edges.withColumn("rng", (F.col("src") / size).cast("long"))
+            .groupBy("rng")
+            .applyInPandas(
+                enc_shard, "rng long, bits long, tot_ref long, tot_dist long"
+            )
+            .collect()  # N_shards metadata rows — payloads stay on disk
+        )
+        seen = {int(r["rng"]) for r in rows}
+        tot_bits = sum(int(r["bits"]) for r in rows)
+        tot_ref = sum(int(r["tot_ref"]) for r in rows)
+        tot_dist = sum(int(r["tot_dist"]) for r in rows)
+        for rng in range(n_ranges):
+            if rng not in seen:  # all-outdegree-0 span: tiny, driver-side
+                lo, hi = rng * size, min((rng + 1) * size, n)
+                payload, bits, sizes, st = encode_range_bv(lo, hi, {}, props)
+                _write_shard(basename, rng, payload, bits, sizes, st, props)
+                tot_bits += bits
+        with open(basename + ".properties", "w", encoding="utf-8") as f:
+            f.write(
+                _properties_text(
+                    n, m, window_size, max_ref_count, min_interval_length,
+                    zeta_k, eff_codes, endianness, version,
+                )
+                + f"shards={n_ranges}\nshardsize={size}\n"
+            )
+        return {
+            "nodes": n,
+            "arcs": m,
+            "bits": tot_bits,
+            "bits_per_link": round(tot_bits / max(m, 1), 3),
+            "avgref": round(tot_ref / max(n, 1), 3),
+            "avgdist": round(tot_dist / max(n, 1), 3),
+            "shards": n_ranges,
+        }
 
     chunk_iter = (
         g.edges.withColumn("rng", (F.col("src") / size).cast("long"))
@@ -1465,14 +1885,10 @@ def write_bvgraph(
 
     with open(basename + ".properties", "w", encoding="utf-8") as f:
         f.write(
-            "#BVGraph properties\n"
-            "version=0\n"
-            "graphclass=it.unimi.dsi.webgraph.BVGraph\n"
-            f"nodes={n}\narcs={m}\n"
-            f"windowsize={window_size}\nmaxrefcount={max_ref_count}\n"
-            f"minintervallength={min_interval_length}\n"
-            f"zetak={zeta_k}\ncompressionflags=\n"
-            f"endianness={endianness}\n"
+            _properties_text(
+                n, m, window_size, max_ref_count, min_interval_length,
+                zeta_k, eff_codes, endianness, version,
+            )
         )
     return {
         "nodes": n,
