@@ -436,6 +436,13 @@ def test_sharded_export_stitches_bit_identical_small(spark, tmp_path):
         assert sorted(
             (r["src"], r["dst"]) for r in g2.edges.collect()
         ) == sorted(edges)
+        # direct sharded ingest: the root manifest routes read_bvgraph
+        # to per-shard parallel decode, no stitch required
+        g3 = read_bvgraph(spark, sharded, canonical=False)
+        assert g3.num_nodes == 12
+        assert sorted(
+            (r["src"], r["dst"]) for r in g3.edges.collect()
+        ) == sorted(edges)
 
 
 def test_sharded_export_stitches_bit_identical_cnr2000(spark, cnr, tmp_path):

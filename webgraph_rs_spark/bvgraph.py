@@ -675,6 +675,16 @@ def read_bvgraph(
 
     props = read_properties(basename + ".properties")
     n = props.nodes
+    raw = dict(
+        line.split("=", 1)
+        for line in open(basename + ".properties", encoding="utf-8")
+        if "=" in line
+    )
+    if "shards" in raw:
+        return _read_bvgraph_sharded(
+            spark, basename, props, int(raw["shards"]),
+            int(raw["shardsize"]), num_partitions, canonical,
+        )
     if n == 0:
         # degenerate basename: no ranges to decode (repartition(0) would
         # throw), return the empty graph directly
@@ -729,6 +739,78 @@ def read_bvgraph(
         # decoded lists are already per-node sorted+deduped; one shuffle
         # into the hash(src) layout every downstream iteration reuses
         edges = edges.repartition(parts, "src").sortWithinPartitions("src", "dst")
+    vertices = spark.range(n).select("id")
+    return LinkGraph(edges, vertices, _num_nodes=n, _num_arcs=props.arcs)
+
+
+def _read_bvgraph_sharded(
+    spark: SparkSession,
+    basename: str,
+    props: BvProperties,
+    nshards: int,
+    shardsize: int,
+    num_partitions: int | None,
+    canonical: bool,
+) -> LinkGraph:
+    """Ingest a sharded export (``write_bvgraph(..., shards=N)``)
+    WITHOUT stitching: each shard is an independent bitstream (windows
+    truncate at shard starts), so one task per shard opens only its own
+    ``basename-<i>.{graph,offsets}`` pair and decodes — no driver read,
+    no broadcast, no serialized prologue of any kind. The export's
+    parallelism choice (N contiguous node ranges) is the read
+    parallelism; re-export with more shards for finer tasks."""
+    import pandas as pd
+
+    n = props.nodes
+    if n == 0:
+        edges = spark.createDataFrame([], "src long, dst long")
+        return LinkGraph(
+            edges, spark.range(0).select("id"), _num_nodes=0, _num_arcs=0
+        )
+    shard_rows = spark.createDataFrame(
+        [(i,) for i in range(nshards)], "shard long"
+    ).repartition(min(nshards, num_partitions or nshards))
+
+    def decode_shards(pdf_iter):
+        for pdf in pdf_iter:
+            for shard in pdf["shard"]:
+                i = int(shard)
+                lo, hi = i * shardsize, min((i + 1) * shardsize, n)
+                if hi <= lo:
+                    continue
+                with open(f"{basename}-{i}.offsets", "rb") as f:
+                    offs = decode_offsets(f.read(), hi - lo, props.endianness)
+                with open(f"{basename}-{i}.graph", "rb") as f:
+                    data_l = f.read()
+                sliced = _SliceOffsets(offs, lo)
+                src_acc: list[np.ndarray] = []
+                dst_acc: list[np.ndarray] = []
+                acc = 0
+                for x, succs in decode_range(data_l, sliced, lo, hi, props):
+                    if not succs:
+                        continue
+                    dst = np.asarray(succs, dtype=np.int64)
+                    src_acc.append(np.full(len(dst), x, dtype=np.int64))
+                    dst_acc.append(dst)
+                    acc += len(dst)
+                    if acc >= 1_000_000:
+                        yield pd.DataFrame(
+                            {"src": np.concatenate(src_acc),
+                             "dst": np.concatenate(dst_acc)}
+                        )
+                        src_acc, dst_acc, acc = [], [], 0
+                if acc:
+                    yield pd.DataFrame(
+                        {"src": np.concatenate(src_acc),
+                         "dst": np.concatenate(dst_acc)}
+                    )
+
+    edges = shard_rows.mapInPandas(decode_shards, "src long, dst long")
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    if canonical:
+        edges = edges.repartition(parts, "src").sortWithinPartitions(
+            "src", "dst"
+        )
     vertices = spark.range(n).select("id")
     return LinkGraph(edges, vertices, _num_nodes=n, _num_arcs=props.arcs)
 
@@ -1666,13 +1748,17 @@ def write_bvgraph(
     of graph size; ``max_resident_payload`` in the returned stats is the
     observed bound.
 
-    Cost model at scale: the per-range compressor is pure Python at
-    ~30k nodes/s/core (measured on cnr-2000) — an export, like the
+    Cost model at scale: the per-range compressor runs the vectorized
+    NumPy cost/emission passes (:mod:`webgraph_rs_spark.bvcost`) at
+    ~80k nodes/s/core steady-state on cnr-2000 (the scalar BitCounter
+    reference path it byte-matches measures ~35-40k; serialized
+    alternating A/Bs in BENCH/BASELINE.md r5) — an export, like the
     ingest, is a one-time boundary crossing, and ranges parallelize
-    perfectly (1000 executor cores ≈ 3*10^7 nodes/s ≈ an hour per
+    perfectly (1000 executor cores ≈ 8*10^7 nodes/s ≈ 20 min per
     10^11 nodes); the stitch streams at disk speed with O(chunk) driver
     memory, serialized only because the single-file ``.graph`` format
-    is one bitstream. Note the achieved ratio is a property of the
+    is one bitstream — or pass ``shards=N`` and skip the stitch
+    entirely. Note the achieved ratio is a property of the
     GRAPH: locality-rich web crawls reach ~3 bits/arc, hash-random
     graphs (e.g. the synthetic bench graph) have no copy/interval
     structure and honestly land near the gap-coding entropy (~19
