@@ -595,6 +595,61 @@ class _SliceOffsets:
         return self.arr[x - self.base]
 
 
+def _decoded_frames(
+    data: bytes,
+    offs: np.ndarray,
+    seed: int,
+    lo: int,
+    hi: int,
+    props: "BvProperties",
+    bit_base: int = 0,
+    chunk: int = 1_000_000,
+):
+    """Yield pandas ``(src, dst)`` frames for nodes ``[lo, hi)`` decoded
+    from a bitstream slice — the shared body of both ingest paths.
+    Vectorized (:mod:`~webgraph_rs_spark.bvdecode`) by default;
+    ``WEBGRAPH_SPARK_SCALAR_DECODE=1`` forces the scalar reference
+    decoder (A/B harness + escape hatch)."""
+    import pandas as pd
+
+    if os.environ.get("WEBGRAPH_SPARK_SCALAR_DECODE") == "1":
+        sliced = _SliceOffsets(offs, seed)
+        src_acc: list[np.ndarray] = []
+        dst_acc: list[np.ndarray] = []
+        acc = 0
+        for x, succs in decode_range(
+            data, sliced, lo, hi, props, bit_base=bit_base
+        ):
+            if not succs:
+                continue
+            dst = np.asarray(succs, dtype=np.int64)
+            src_acc.append(np.full(len(dst), x, dtype=np.int64))
+            dst_acc.append(dst)
+            acc += len(dst)
+            if acc >= chunk:
+                yield pd.DataFrame(
+                    {"src": np.concatenate(src_acc),
+                     "dst": np.concatenate(dst_acc)}
+                )
+                src_acc, dst_acc, acc = [], [], 0
+        if acc:
+            yield pd.DataFrame(
+                {"src": np.concatenate(src_acc),
+                 "dst": np.concatenate(dst_acc)}
+            )
+        return
+
+    from .bvdecode import decode_range_arrays
+
+    src, dst = decode_range_arrays(
+        data, offs, seed, lo, hi, props, bit_base=bit_base
+    )
+    for i in range(0, len(src), chunk):
+        yield pd.DataFrame(
+            {"src": src[i : i + chunk], "dst": dst[i : i + chunk]}
+        )
+
+
 def _plan_ranges_task(
     spark: SparkSession, basename: str, n: int, parts: int
 ) -> DataFrame:
@@ -709,30 +764,10 @@ def read_bvgraph(
                 with open(basename + ".graph", "rb") as f:
                     f.seek(byte_start)
                     data_l = f.read(byte_end - byte_start)
-                sliced = _SliceOffsets(offs, seed)
-                src_acc: list[np.ndarray] = []
-                dst_acc: list[np.ndarray] = []
-                acc = 0
-                for x, succs in decode_range(
-                    data_l, sliced, lo, hi, props, bit_base=byte_start << 3
-                ):
-                    if not succs:
-                        continue
-                    dst = np.asarray(succs, dtype=np.int64)
-                    src_acc.append(np.full(len(dst), x, dtype=np.int64))
-                    dst_acc.append(dst)
-                    acc += len(dst)
-                    if acc >= 1_000_000:
-                        yield pd.DataFrame(
-                            {"src": np.concatenate(src_acc),
-                             "dst": np.concatenate(dst_acc)}
-                        )
-                        src_acc, dst_acc, acc = [], [], 0
-                if acc:
-                    yield pd.DataFrame(
-                        {"src": np.concatenate(src_acc),
-                         "dst": np.concatenate(dst_acc)}
-                    )
+                yield from _decoded_frames(
+                    data_l, offs, seed, lo, hi, props,
+                    bit_base=byte_start << 3,
+                )
 
     edges = ranges_df.mapInPandas(decode_batches, "src long, dst long")
     if canonical:
@@ -782,28 +817,9 @@ def _read_bvgraph_sharded(
                     offs = decode_offsets(f.read(), hi - lo, props.endianness)
                 with open(f"{basename}-{i}.graph", "rb") as f:
                     data_l = f.read()
-                sliced = _SliceOffsets(offs, lo)
-                src_acc: list[np.ndarray] = []
-                dst_acc: list[np.ndarray] = []
-                acc = 0
-                for x, succs in decode_range(data_l, sliced, lo, hi, props):
-                    if not succs:
-                        continue
-                    dst = np.asarray(succs, dtype=np.int64)
-                    src_acc.append(np.full(len(dst), x, dtype=np.int64))
-                    dst_acc.append(dst)
-                    acc += len(dst)
-                    if acc >= 1_000_000:
-                        yield pd.DataFrame(
-                            {"src": np.concatenate(src_acc),
-                             "dst": np.concatenate(dst_acc)}
-                        )
-                        src_acc, dst_acc, acc = [], [], 0
-                if acc:
-                    yield pd.DataFrame(
-                        {"src": np.concatenate(src_acc),
-                         "dst": np.concatenate(dst_acc)}
-                    )
+                # shard streams truncate reference windows at the shard
+                # start, so seed == lo: the shard is self-sufficient
+                yield from _decoded_frames(data_l, offs, lo, lo, hi, props)
 
     edges = shard_rows.mapInPandas(decode_shards, "src long, dst long")
     parts = num_partitions or spark.sparkContext.defaultParallelism
