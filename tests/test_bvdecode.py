@@ -207,3 +207,34 @@ def test_cnr2000_prefix_and_midrange_parity():
         data, offsets[seed : hi + 1], seed, lo, hi, props
     )
     assert np.array_equal(s_v, s_s) and np.array_equal(d_v, d_s)
+
+
+def test_spark_full_cycle_sharded_le_custom_codes(spark, tmp_path):
+    """Whole-stack crossing in one pass: Spark-parallel compress with
+    non-default codes (PI2 residuals, DELTA outdegrees) into a
+    little-endian SHARDED layout, then direct sharded ingest through
+    the vectorized decoder — arcs must roundtrip exactly."""
+    import warnings
+
+    from webgraph_rs_spark.graph import from_edges
+    from webgraph_rs_spark.bvgraph import read_bvgraph, write_bvgraph
+
+    rng = np.random.default_rng(23)
+    edges = sorted(
+        {(int(s), int(d)) for s, d in rng.integers(0, 300, size=(2500, 2))}
+    )
+    g = from_edges(
+        spark,
+        spark.createDataFrame(edges, "src long, dst long"),
+        num_nodes=300,
+    )
+    base = str(tmp_path / "cycle")
+    write_bvgraph(
+        spark, g, base, num_partitions=4, shards=4, endianness="little",
+        codes={"RESIDUALS": "PI2", "OUTDEGREES": "DELTA"},
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # LE best-effort note
+        g2 = read_bvgraph(spark, base, canonical=False)
+    got = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert got == edges
