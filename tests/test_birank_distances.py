@@ -377,3 +377,40 @@ def test_hyperball_reltol_converged_resume_is_noop(spark, tmp_path):
     b = {r["id"]: (r["reachable_est"], r["sum_dist_est"], r["harmonic_est"])
          for r in again.centralities.collect()}
     assert a == b
+
+
+def test_exact_sum_sweep_pivotless_scc_chain(spark):
+    """The web-graph convergence shape (found on cnr-2000, r5): many small
+    pivot-less SCCs. ``fu(v) <= 1 + max succ fu(w)`` alone is a fixed
+    point at infinity inside every non-trivial SCC without a pivot, so
+    pre-r5 certification needed a pivot PER SCC; the condensation pass
+    (_SccDagBounds) must close them all within a couple of batches.
+
+    Shape: K disjoint 2-cycles {2i, 2i+1} chained 2i+1 -> 2i+2, plus a
+    tail of singletons — radius/diameter must match brute force with far
+    fewer pivots than SCCs."""
+    from webgraph_rs_spark.algorithms.distances import exact_sum_sweep
+
+    K = 24
+    edges = []
+    for i in range(K):
+        a, b = 2 * i, 2 * i + 1
+        edges += [(a, b), (b, a)]
+        if i + 1 < K:
+            edges.append((b, a + 2))
+    n = 2 * K + 4
+    # singleton tail hanging off the last cycle
+    edges += [(2 * K - 1, 2 * K), (2 * K, 2 * K + 1), (2 * K + 1, 2 * K + 2),
+              (2 * K + 2, 2 * K + 3)]
+    g = graph_from_pandas(spark, edges, n)
+
+    exp = _brute_apsp(n, edges)
+    ecc = [0] * n
+    for (r, _u), d in exp.items():
+        ecc[r] = max(ecc[r], d)
+    res = exact_sum_sweep(g, mode="radius_diameter", batch=8)
+    assert res.converged
+    assert res.diameter == max(ecc)
+    assert res.radius == min(ecc)
+    # the point of the condensation pass: no pivot-per-SCC blowup
+    assert res.pivots_used < K

@@ -37,8 +37,16 @@ def main() -> None:
     g.edges.persist().count()
     t_ingest = time.time() - t0
 
+    max_pivots = int(os.environ.get("SUMSWEEP_MAX_PIVOTS", "4096"))
+    batch = int(os.environ.get("SUMSWEEP_BATCH", "256"))
     t0 = time.time()
-    res = exact_sum_sweep(g, mode="radius_diameter")
+    res = exact_sum_sweep(
+        g,
+        mode="radius_diameter",
+        batch=batch,
+        max_pivots=max_pivots,
+        verbose=True,
+    )
     t_sweep = time.time() - t0
 
     rec = {
@@ -51,6 +59,8 @@ def main() -> None:
         "diametral_node": res.diametral_node,
         "pivots_used": res.pivots_used,
         "converged": res.converged,
+        "radius_interval": res.radius_interval,
+        "diameter_interval": res.diameter_interval,
         "ingest_sec": round(t_ingest, 2),
         "sweep_sec": round(t_sweep, 2),
         "cpus": int(cpus),
