@@ -1016,17 +1016,34 @@ def exact_sum_sweep(
             if diam_done and rad_done:
                 converged = True
                 break
-            dcand = (
-                open_nodes.filter(F.col("fu") > row["max_fl"])
-                .orderBy(F.col("fu").desc(), F.col("fl").desc(), F.col("id"))
-                .limit(half)
-                .collect()
+            # Pivot diversity (r5): once the condensation pass is engaged,
+            # the loosest-fu nodes are typically CLUSTERED in one SCC, and
+            # a whole batch spent inside one component certifies only that
+            # component (measured on cnr-2000: the tail decayed ~20/round
+            # with same-comp batches). Take at most one candidate per SCC,
+            # loosest first, so each batch touches `half` distinct comps.
+            def _per_comp_top(cand, order_cols):
+                if scc_dag is None:
+                    return cand.orderBy(*order_cols).limit(half).collect()
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("comp").orderBy(*order_cols)
+                return (
+                    cand.join(scc_dag.labels, "id")
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .orderBy(*order_cols)
+                    .limit(half)
+                    .collect()
+                )
+
+            dcand = _per_comp_top(
+                open_nodes.filter(F.col("fu") > row["max_fl"]),
+                [F.col("fu").desc(), F.col("fl").desc(), F.col("id")],
             )
-            rcand = (
-                open_nodes.filter(F.col("fl") < row["min_fu"])
-                .orderBy(F.col("fl").asc(), F.col("fu").asc(), F.col("id"))
-                .limit(half)
-                .collect()
+            rcand = _per_comp_top(
+                open_nodes.filter(F.col("fl") < row["min_fu"]),
+                [F.col("fl").asc(), F.col("fu").asc(), F.col("id")],
             )
             sel = list({int(r["id"]) for r in dcand} | {int(r["id"]) for r in rcand})
             if not sel:
