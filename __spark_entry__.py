@@ -871,11 +871,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is deliberate: the driver's correctness run caps at 50 of
     # the registry's entries, so the queries that did NOT get a driver row
     # in the previous round's CORRECTNESS_r* run must execute FIRST; the
-    # just-gated queries rotate to the tail. r5 priority set = the 19
-    # queries CORRECTNESS_r04's cap did not reach (exactly the registry
+    # just-gated queries rotate to the tail. r6 priority set = the 20
+    # queries CORRECTNESS_r05's cap did not reach (exactly the registry
     # keys absent from that file — pinned by tests/test_registry.py
-    # ``test_rotation_covers_last_rounds_missed_queries``), plus any query
-    # newly added this round (never driver-gated at all).
+    # ``test_rotation_covers_last_rounds_missed_queries``).
+    r6_priority = {
+        "pagerank": _q_pagerank,
+        "pagerank_topk": _q_pagerank_topk,
+        "pagerank_pseudo": _q_pagerank_pseudo,
+        "pagerank_pref": _q_pagerank_pref,
+        "cc_labels": _q_cc,
+        "cc_star_labels": _q_cc_star,
+        "cc_renumbered": _q_cc_sizes,
+        "labelprop": _q_labelprop,
+        "triangles": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "bfs_from_0": _q_bfs,
+        "bfs_tree_from_0": _q_bfs_tree,
+        "bfs_order_from_0": _q_bfs_order,
+        "locality_stats": _q_locality,
+        "scc_labels": _q_scc,
+        "scc_labels_dense": _q_scc_dense,
+        "scc_renumbered": _q_scc_renumbered,
+        "sumsweep_radius_diameter": _q_sumsweep_rd,
+        "sumsweep_ecc_all": _q_sumsweep_ecc,
+        "sumsweep_ecc_backward": _q_sumsweep_becc,
+    }
     r5_priority = {
         "bv_cnr2000_stats": _q_bv_stats,
         "topo_levels": _q_topo,
@@ -897,7 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_DIST_QUERIES,
     }
     return {
-        **r5_priority,
+        **r6_priority,
         "bfs_events_from_0": _q_bfs_events,
         "scc_condensation": _q_scc_condensation,
         "events_window": _q_events_window,
@@ -919,26 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract": _q_contract,
         "check_symm": _q_check_symm,
         "successors_0": _q_successors0,
-        "pagerank": _q_pagerank,
-        "pagerank_topk": _q_pagerank_topk,
-        "pagerank_pseudo": _q_pagerank_pseudo,
-        "pagerank_pref": _q_pagerank_pref,
-        "cc_labels": _q_cc,
-        "cc_star_labels": _q_cc_star,
-        "cc_renumbered": _q_cc_sizes,
-        "labelprop": _q_labelprop,
-        "triangles": _q_triangles,
-        "triangles_per_vertex": _q_triangles_per_vertex,
-        "bfs_from_0": _q_bfs,
-        "bfs_tree_from_0": _q_bfs_tree,
-        "bfs_order_from_0": _q_bfs_order,
-        "locality_stats": _q_locality,
-        "scc_labels": _q_scc,
-        "scc_labels_dense": _q_scc_dense,
-        "scc_renumbered": _q_scc_renumbered,
-        "sumsweep_radius_diameter": _q_sumsweep_rd,
-        "sumsweep_ecc_all": _q_sumsweep_ecc,
-        "sumsweep_ecc_backward": _q_sumsweep_becc,
+        **r5_priority,
     }
 
 
