@@ -18,7 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_rs_spark.driver import release_state
+from webgraph_rs_spark.driver import maybe_explain, release_state
 from webgraph_rs_spark.graph import LinkGraph, ranked
 
 # frontiers below this row count are broadcast to skip the shuffle join
@@ -75,16 +75,23 @@ def bfs_distances(
         frontier = spark.createDataFrame([(int(r),) for r in roots], "id long")
     if node_filter is not None:
         frontier = frontier.filter(node_filter)
-    edges = g.edges.repartition("src").persist()
-    edges.count()
+    from webgraph_rs_spark.graph import edges_by_src
 
-    # localCheckpoint (not persist) per level: the frontier/visited recursion
+    edges, own_edges = edges_by_src(g)
+
+    # localCheckpoint (not persist) per level: the frontier recursion
     # otherwise re-expands the whole logical-plan tree every level —
-    # exponential analysis cost (visited_k and frontier_k both reference
-    # frontier_{k-1}). Truncating lineage each level keeps plans O(1).
-    visited = frontier.withColumn("distance", F.lit(0).cast("long")).localCheckpoint()
+    # exponential analysis cost. The visited set is NOT re-checkpointed per
+    # level (that was one extra vertex-sized job every level): it stays a
+    # lazy union of the per-level frontier checkpoints, each already
+    # lineage-free, and is materialized ONCE at the end.
     frontier = frontier.localCheckpoint()
     n_frontier = frontier.count()
+    parts: list[DataFrame] = [
+        frontier.withColumn("distance", F.lit(0).cast("long"))
+    ]
+    hold: list[DataFrame] = [frontier]  # checkpoints released at the end
+    visited_ids = frontier.select("id")
     depth = 0
     ev_rows: list[tuple[int, int, int]] = [(0, n_frontier, 0)]
     while n_frontier > 0 and (max_depth is None or depth < max_depth):
@@ -107,7 +114,8 @@ def bfs_distances(
         if events:
             cand = cand.localCheckpoint()
             n_cand = cand.count()
-        nxt = cand.join(visited.select("id"), "id", "left_anti")
+        nxt = cand.join(visited_ids, "id", "left_anti")
+        maybe_explain(nxt, f"bfs_level{depth + 1:03d}")
         nxt = nxt.localCheckpoint()
         depth += 1
         n_frontier = nxt.count()
@@ -117,14 +125,20 @@ def bfs_distances(
             ev_rows.append((depth, n_frontier, n_cand - n_frontier))
             release_state(cand)
         if n_frontier > 0:
-            old_visited = visited
-            visited = visited.unionByName(
-                nxt.withColumn("distance", F.lit(depth).cast("long"))
-            ).localCheckpoint()
-            release_state(old_visited)
-        release_state(frontier)
+            parts.append(nxt.withColumn("distance", F.lit(depth).cast("long")))
+            hold.append(nxt)
+            visited_ids = visited_ids.unionByName(nxt.select("id"))
         frontier = nxt
-    edges.unpersist()
+    visited = parts[0]
+    for p in parts[1:]:
+        visited = visited.unionByName(p)
+    visited = visited.localCheckpoint()  # one materialization for the result
+    if n_frontier == 0 and frontier is not hold[0]:
+        release_state(frontier)  # the final empty frontier checkpoint
+    for h in hold:
+        release_state(h)
+    if own_edges:
+        edges.unpersist()
     ev_df = None
     if events:
         ev_df = spark.createDataFrame(

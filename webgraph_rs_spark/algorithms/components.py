@@ -37,14 +37,19 @@ class CCResult:
     resumed_from: int | None = None
 
 
-def _sym_edges(g: LinkGraph) -> DataFrame:
-    """Both directions, no self-loops, deduped."""
+def _sym_edges(g: LinkGraph, partition_by: str | None = None) -> DataFrame:
+    """Both directions, no self-loops, deduped.
+
+    ``partition_by``: hash-partition by that column BEFORE the dedup — the
+    hash(key) distribution already satisfies the (src, dst) clustering the
+    dedup aggregate needs, so the whole symmetrize lands in ONE exchange and
+    comes out in the layout the caller wants, instead of the old
+    dedup-then-repartition double shuffle (guide §2.4)."""
     t = g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return (
-        g.edges.unionByName(t)
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    e = g.edges.unionByName(t).filter(F.col("src") != F.col("dst"))
+    if partition_by:
+        e = e.repartition(partition_by)
+    return e.dropDuplicates(["src", "dst"])
 
 
 def connected_components(
@@ -69,7 +74,7 @@ def connected_components(
     frontiers are broadcast.
     """
     spark = g.edges.sparkSession
-    sym = _sym_edges(g).repartition("src").persist()
+    sym = _sym_edges(g, partition_by="src").persist()
     sym.count()
     state0 = g.vertices.select("id", F.col("id").alias("label"))
 
@@ -128,6 +133,9 @@ def connected_components(
         job=job,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        # the gather reads the (separately checkpointed) frontier, so the
+        # state subplan is embedded once per round — linear plan growth
+        truncate_every=6,
     )
     while cache_rounds:
         for d in cache_rounds.pop(0):
@@ -228,6 +236,10 @@ def cc_star(
         job=job,
         checkpoint_every=1,
         resume=resume,
+        # the two-star composition embeds the state subplan ~4x per round
+        # (bi-direction union + min join, twice) — plans grow ~4^K between
+        # truncations, keep K minimal (driver.py)
+        truncate_every=2,
     )
     # star forest -> labels; nodes with no edges are their own component.
     parents = res.state.groupBy(F.col("src").alias("id")).agg(

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_rs_spark.driver import CheckpointStore, release_state
+from webgraph_rs_spark.driver import CheckpointStore, maybe_explain, release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 # ----------------------------------------------------------- exact distances
@@ -258,13 +258,17 @@ def hyperball(
     import time as _time
     n = g.num_nodes
     # self-loop augmented edges: the group at src always includes its own
-    # sketch; B(v, t) grows along out-edges (hyperball.rs doc)
+    # sketch; B(v, t) grows along out-edges (hyperball.rs doc).
+    # Persisted hash-partitioned by DST — the per-iteration gather joins the
+    # state on dst, so a dst layout makes that join exchange-free on the
+    # edge side; the old src layout re-shuffled the WHOLE edge table every
+    # iteration (guide §2.4 — the single biggest cost in this loop).
     edges = (
         g.edges.select("src", "dst")
         .unionByName(
             g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         )
-        .repartition("src")
+        .repartition("dst")
         .persist()
     )
     edges.count()
@@ -363,6 +367,12 @@ def hyperball(
             if n_changed == 0 or bool(latest["metrics"].get("converged")):
                 start_t = max_iter  # stored run already converged
 
+    # ``changed`` is normally a lazy VIEW over the checkpointed accumulator
+    # (its ``_moved`` column); only a resume materializes a standalone
+    # checkpoint for it, tracked in ``changed_own`` for release.
+    changed_own: DataFrame | None = changed
+    from pyspark.sql import Observation
+
     for t in range(start_t + 1, max_iter + 1):
         _t0 = _time.time()
         it_n = t
@@ -384,50 +394,65 @@ def hyperball(
         gathered = base.join(
             state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
         ).select(F.col("src").alias("id"), "sketch")
-        recomputed = (
-            gathered.groupBy("id")
-            .agg(F.hll_union_agg("sketch").alias("sketch"))
-            .localCheckpoint()
+        recomputed = gathered.groupBy("id").agg(
+            F.hll_union_agg("sketch").alias("sketch")
         )
+        maybe_explain(recomputed, f"{job}_union_iter{t:03d}")
+        recomputed = recomputed.localCheckpoint()
         rb = recomputed.select(
             "id",
             F.hll_sketch_estimate("sketch").cast("double").alias("nb"),
             F.octet_length("sketch").cast("long").alias("nlen"),
         )
-        inc = (
-            rb.join(
-                acc.select(
-                    "id",
-                    F.col("reachable_est").alias("b"),
-                    F.col("sk_len").alias("slen"),
-                ),
-                "id",
-            )
-            .select(
-                "id",
-                "nb",
-                "nlen",
-                F.greatest(F.col("nb") - F.col("b"), F.lit(0.0)).alias("inc"),
-                # frontier key: full-double estimate AND serialized length
-                # (catches sparse-mode coupon growth whose estimate delta
-                # rounds away; see docstring for the residual dense-mode
-                # caveat) — the closest register-modification proxy
-                # Spark's datasketches surface exposes
-                (
-                    (F.col("nb") != F.col("b")) | (F.col("nlen") != F.col("slen"))
-                ).alias("moved"),
-            )
-            .localCheckpoint()
+        # ONE vertex-sized pass fuses what used to be three checkpointed
+        # intermediates (inc + changed + acc) and a separate aggregate job:
+        # the accumulator update computes the increment and the frontier
+        # flag inline, the round's scalars ride on the checkpoint action as
+        # observe metrics. Per iteration: 2 actions total (sketch union +
+        # accumulator), vs 5 before.
+        # frontier key ``_moved``: full-double estimate AND serialized
+        # length (catches sparse-mode coupon growth whose estimate delta
+        # rounds away; see docstring for the residual dense-mode caveat) —
+        # the closest register-modification proxy Spark's datasketches
+        # surface exposes.
+        inc_col = F.when(
+            F.col("nb").isNotNull(),
+            F.greatest(F.col("nb") - F.col("reachable_est"), F.lit(0.0)),
+        ).otherwise(F.lit(0.0))
+        moved_col = F.when(
+            F.col("nb").isNotNull(),
+            (F.col("nb") != F.col("reachable_est"))
+            | (F.col("nlen") != F.col("sk_len")),
+        ).otherwise(F.lit(False))
+        old_acc = acc
+        acc = acc.join(rb, "id", "left").select(
+            "id",
+            F.coalesce("nb", F.col("reachable_est")).alias("reachable_est"),
+            F.coalesce("nlen", F.col("sk_len")).alias("sk_len"),
+            (F.col("sum_dist_est") + inc_col * t).alias("sum_dist_est"),
+            (F.col("harmonic_est") + inc_col / t).alias("harmonic_est"),
+            *[
+                (F.col(f"{name}_est") + inc_col * float(fn(t))).alias(
+                    f"{name}_est"
+                )
+                for name, fn in discounts.items()
+            ],
+            inc_col.alias("_inc"),
+            moved_col.alias("_moved"),
         )
-        row = inc.agg(
-            F.sum("inc").alias("g"),
-            F.sum(F.when(F.col("moved"), 1).otherwise(0)).alias("c"),
-        ).collect()[0]
-        grew_abs = float(row["g"] or 0.0)
-        new_changed = inc.filter(F.col("moved")).select("id").localCheckpoint()
-        release_state(changed)
-        changed = new_changed
-        n_changed = int(row["c"] or 0)
+        obs = Observation()
+        acc = acc.observe(
+            obs,
+            F.sum("_inc").alias("g"),
+            F.sum(F.col("_moved").cast("long")).alias("c"),
+        ).localCheckpoint()
+        vals = obs.get
+        grew_abs = float(vals.get("g") or 0.0)
+        n_changed = int(vals.get("c") or 0)
+        release_state(old_acc)
+        release_state(changed_own)
+        changed_own = None
+        changed = acc.filter(F.col("_moved")).select("id")
 
         old_state = state
         if systolic:
@@ -441,32 +466,6 @@ def hyperball(
             state = recomputed
         release_state(old_state)
 
-        old_acc = acc
-        acc = (
-            acc.join(inc.select("id", "nb", "nlen", "inc"), "id", "left")
-            .select(
-                "id",
-                F.coalesce("nb", F.col("reachable_est")).alias("reachable_est"),
-                F.coalesce("nlen", F.col("sk_len")).alias("sk_len"),
-                (
-                    F.col("sum_dist_est") + F.coalesce("inc", F.lit(0.0)) * t
-                ).alias("sum_dist_est"),
-                (
-                    F.col("harmonic_est") + F.coalesce("inc", F.lit(0.0)) / t
-                ).alias("harmonic_est"),
-                *[
-                    (
-                        F.col(f"{name}_est")
-                        + F.coalesce("inc", F.lit(0.0)) * float(fn(t))
-                    ).alias(f"{name}_est")
-                    for name, fn in discounts.items()
-                ],
-            )
-            .localCheckpoint()
-        )
-        release_state(old_acc)
-        release_state(inc)
-
         total = nf[-1] + grew_abs
         rel_grow = grew_abs / max(nf[-1], 1.0)
         nf.append(total)
@@ -476,14 +475,8 @@ def hyperball(
         )
         stopping = n_changed == 0 or rel_grow < rel_tol
         if store and (stopping or t % checkpoint_every == 0):
-            snap = (
-                state.join(acc, "id")
-                .join(
-                    changed.select("id", F.lit(True).alias("chg")),
-                    "id",
-                    "left",
-                )
-                .fillna({"chg": False})
+            snap = state.join(
+                acc.select(*acc_cols, F.col("_moved").alias("chg")), "id"
             )
             store.write(
                 snap,
@@ -494,7 +487,7 @@ def hyperball(
             )
         if stopping:
             break
-    release_state(changed)
+    release_state(changed_own)
     release_state(state)
     edges.unpersist()
     cent_plan = acc.select(

@@ -96,8 +96,13 @@ def label_propagation(
     they re-evaluate even if their neighborhood goes quiet.
     """
     spark = g.edges.sparkSession
-    edges = _sym_edges(g) if symmetrize else g.edges
-    edges = edges.repartition("src").persist()
+    own_edges = True
+    if symmetrize:
+        edges = _sym_edges(g, partition_by="src").persist()
+    else:
+        from webgraph_rs_spark.graph import edges_by_src
+
+        edges, own_edges = edges_by_src(g)
     edges.count()
     n_vertices = g.num_nodes
     state0 = g.vertices.select("id", F.col("id").alias("label"))
@@ -266,9 +271,13 @@ def label_propagation(
         job=job,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        # the step embeds the state subplan twice (gather + adopt join),
+        # plus the volume/gain joins when enabled — keep ~2^K small
+        truncate_every=4 if (gamma == 0.0 and min_gain is None) else 2,
     )
     while cache_rounds:
         for d in cache_rounds.pop(0):
             release_state(d)
-    edges.unpersist()
+    if own_edges:
+        edges.unpersist()
     return LPResult(res.state, res.iterations, res.metrics_history, res.resumed_from)

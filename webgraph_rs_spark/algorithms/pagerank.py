@@ -87,6 +87,21 @@ def pagerank(
     spark = g.edges.sparkSession
     n = g.num_nodes
 
+    # The edge table stays bare (src, dst) — at web scale it dominates all
+    # storage and shuffle, so the 1/outdeg weight is NOT materialized per
+    # edge; instead the (vertex-sized) state is scaled by 1/outdeg once per
+    # iteration. Hash-partitioned by src (reusing the caller's persisted
+    # canonical layout when available — guide §2.4): the per-iteration
+    # gather join never re-shuffles the edges side.
+    from webgraph_rs_spark.graph import edges_by_src
+
+    edges, own_edges = edges_by_src(g)
+    if g._num_arcs is not None:
+        m = g._num_arcs
+    else:
+        m = edges.count()  # one action: arc count + cache materialization
+        g._num_arcs = m
+
     # vertex_meta: id, pref, u (dangling redistribution weight), is_dangling
     out_deg = g.out_degrees()
     if preference is not None:
@@ -103,31 +118,42 @@ def pagerank(
         meta = meta.withColumn("u", F.lit(0.0))
     meta = meta.withColumn("is_dangling", F.col("out_deg") == 0)
     meta = meta.repartition("id").persist()
-    meta.count()
-
-    # The edge table stays bare (src, dst) — at web scale it dominates all
-    # storage and shuffle, so the 1/outdeg weight is NOT materialized per
-    # edge; instead the (vertex-sized) state is scaled by 1/outdeg once per
-    # iteration. Persisted hash-partitioned by src: the per-iteration gather
-    # join never re-shuffles the edges side.
-    edges = g.edges.repartition("src").persist()
-    m = edges.count()
 
     ranks0 = meta.select("id", F.col("pref").alias("rank"))
 
     coef = alpha / (1.0 - alpha) if alpha < 1.0 else float("inf")
 
-    # If the graph has no dangling nodes at all (common for web cores), the
-    # dangling term is identically zero — skip its per-iteration aggregate.
-    has_dangling = bool(
-        meta.filter(F.col("is_dangling")).limit(1).count()
-    )
+    # ONE setup aggregate replaces three jobs (meta.count materialize +
+    # dangling-existence probe + first-iteration dangling mass): it
+    # materializes the meta cache, detects dangling nodes, and — because
+    # the fresh initial state IS the preference vector — yields the first
+    # iteration's dangling mass d0 = sum of pref over dangling nodes.
+    setup = meta.agg(
+        F.max(F.col("is_dangling").cast("int")).alias("any_dangling"),
+        F.sum(F.when(F.col("is_dangling"), F.col("pref")).otherwise(0.0)).alias(
+            "d0"
+        ),
+    ).collect()[0]
+    has_dangling = bool(setup["any_dangling"])
+    d0_fresh = float(setup["d0"] or 0.0)
+
+    # A resumed run starts from a RESTORED state, where d0_fresh does not
+    # apply — fall back to the lazy per-state computation in that case.
+    will_resume = False
+    if checkpoint_dir and resume:
+        from webgraph_rs_spark.driver import CheckpointStore
+
+        will_resume = (
+            CheckpointStore(checkpoint_dir, job).latest_complete() is not None
+        )
 
     # Dangling mass is carried forward between iterations; together with the
     # L1 delta it rides along the driver's own materializing action as
     # ``observe`` metrics — ZERO extra actions/passes per iteration. On the
-    # first call (fresh run or resume) it is computed from the given state.
-    dangling_carry: dict[str, float | None] = {"d": None if has_dangling else 0.0}
+    # first call it is d0 (fresh run) or computed from the restored state.
+    dangling_carry: dict[str, float | None] = {
+        "d": (None if will_resume else d0_fresh) if has_dangling else 0.0
+    }
 
     def _dangling_of(state: DataFrame) -> float:
         return (
@@ -245,10 +271,14 @@ def pagerank(
         job=job,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        # state-reference multiplicity: 1 without the L1 delta join, 2 with
+        # it (plan grows ~2^K between truncations — see driver.py)
+        truncate_every=8 if threshold is None else 4,
     )
     err = res.metrics_history[-1].get("err", float("nan")) if res.metrics_history else 0.0
     meta.unpersist()
-    edges.unpersist()
+    if own_edges:
+        edges.unpersist()
     return PageRankResult(
         ranks=res.state,
         iterations=res.iterations,

@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_rs_spark.driver import CheckpointStore, release_state
+from webgraph_rs_spark.driver import CheckpointStore, maybe_explain, release_state
 from webgraph_rs_spark.graph import LinkGraph
 
 
@@ -140,8 +140,13 @@ def strongly_connected_components(
     # the two base layouts persist for the whole run; every per-round
     # restriction derives from them + the CURRENT alive checkpoint only
     # (constant-depth lineage — chaining restrict-over-restrict would make
-    # an evicted partition's recompute walk released checkpoints)
-    base_src = base.repartition("src").persist()
+    # an evicted partition's recompute walk released checkpoints).
+    # When the graph is already canonical (hash(src)) and caller-persisted,
+    # the src layout is the filter itself — filter/project preserve the
+    # partitioning and read through the existing cache, so only the dst
+    # layout costs a shuffle + cache (guide §2.4).
+    own_base_src = not (g.src_layout and g.edges.is_cached)
+    base_src = base.repartition("src").persist() if own_base_src else base
     base_dst = base.repartition("dst").persist()
     by_src, by_dst = base_src, base_dst
     metrics: list[dict] = []
@@ -333,6 +338,7 @@ def strongly_connected_components(
                 )
                 cur = step_out.select("id", "color")
                 fr = step_out.filter(F.col("_chg")).select("id", "color")
+            maybe_explain(step_out, f"scc_color_iter{color_iters:03d}")
             new_colors = step_out.localCheckpoint()
             n_changed = new_colors.filter(F.col("_chg")).count()
             release_state(colors_ck)
@@ -423,7 +429,8 @@ def strongly_connected_components(
     if by_src is not base_src:
         by_src.unpersist()
         by_dst.unpersist()
-    base_src.unpersist()
+    if own_base_src:
+        base_src.unpersist()
     base_dst.unpersist()
     spark = g.edges.sparkSession
     if parts:

@@ -30,7 +30,9 @@ from webgraph_rs_spark.algorithms.components import _sym_edges
 
 def _oriented_edges(g: LinkGraph) -> DataFrame:
     """Undirected edges oriented low->high by (degree, id); columns (a, b)."""
-    sym = _sym_edges(g)  # both directions present
+    # hash(src)-partitioned symmetrize (one exchange) — the degree groupBy
+    # then aggregates in place with no further shuffle of the edge table
+    sym = _sym_edges(g, partition_by="src")  # both directions present
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     e = (
         sym.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "ds"), "src")

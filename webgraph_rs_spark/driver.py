@@ -224,6 +224,28 @@ def _jsonable(v):
         return str(v)
 
 
+def maybe_explain(df: DataFrame, tag: str) -> None:
+    """Debug hook: when $SPARK_GRAFT_EXPLAIN_DIR is set, write the formatted
+    physical plan of ``df`` to ``<dir>/<tag>.txt``. Lets plan audits capture
+    the REAL per-iteration plans of the iterative jobs (instead of replicas
+    that can drift from the code). No-op unless the env var is set."""
+    out_dir = os.environ.get("SPARK_GRAFT_EXPLAIN_DIR")
+    if not out_dir:
+        return
+    try:
+        import contextlib
+        import io
+
+        os.makedirs(out_dir, exist_ok=True)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        with open(os.path.join(out_dir, f"{tag}.txt"), "w", encoding="utf-8") as f:
+            f.write(buf.getvalue())
+    except Exception:  # noqa: BLE001 - debug-only, never fail the job
+        pass
+
+
 def release_state(df: DataFrame | None) -> None:
     """Fully release a DISCARDED state DataFrame: cache entry AND, when the
     plan is a localCheckpoint product (LogicalRDD), the checkpoint RDD
@@ -258,6 +280,17 @@ class IterationResult:
     resumed_from: int | None = None
 
 
+# Lineage is truncated every K iterations when no durable store is active.
+# K must respect the step's STATE-REFERENCE MULTIPLICITY r (how many times
+# step(state) embeds the state subplan): the logical tree grows like r^K
+# between truncations (plans are in-memory DAGs but Catalyst rules and plan
+# stringification expand them as trees), so r=1 steps tolerate large K while
+# an r=3 step at K=6 builds a ~3^6-subplan tree — enough to OOM the driver
+# building the AQE plan-change string. Callers with r > 1 pass an explicit
+# truncate_every (pagerank 4, labelprop 4, birank 2, cc_star 2).
+DEFAULT_TRUNCATE_EVERY = 4
+
+
 def iterate(
     spark: SparkSession,
     state0: DataFrame,
@@ -268,6 +301,7 @@ def iterate(
     checkpoint_every: int = 1,
     resume: bool = True,
     max_safety_iter: int = 10_000,
+    truncate_every: int | None = None,
 ) -> IterationResult:
     """Run ``state' = step(state)`` until ``stop`` fires.
 
@@ -286,8 +320,25 @@ def iterate(
     of costing a second pass. (With ``checkpoint_every > 1`` and a durable
     store, a stop detected from observed metrics between checkpoints
     triggers a late commit so the final state is always durable.)
+
+    ``truncate_every`` — lineage-truncation interval when there is NO
+    durable store (default :data:`DEFAULT_TRUNCATE_EVERY`, floored by
+    ``checkpoint_every``). Between truncations the state lives in the
+    cache, which PRESERVES its hash partitioning, so the next iteration's
+    vertex-state joins stay exchange-free; a ``localCheckpoint`` boundary
+    (an AQE plan wrapped into a LogicalRDD) loses the partitioning and
+    forces a vertex-sized re-shuffle + one extra job per iteration —
+    measured as the dominant fixed cost of small/medium iterations. With a
+    durable store the commit cadence stays ``checkpoint_every`` (a commit
+    already truncates).
     """
     store = CheckpointStore(checkpoint_dir, job) if checkpoint_dir else None
+    if store is not None:
+        trunc = checkpoint_every
+    else:
+        trunc = truncate_every if truncate_every is not None else max(
+            checkpoint_every, DEFAULT_TRUNCATE_EVERY
+        )
     it = 0
     resumed_from = None
     metrics_history: list[dict] = []
@@ -313,9 +364,10 @@ def iterate(
         t0 = time.monotonic()
         new_state, metrics = step(state, it)
         it += 1
+        maybe_explain(new_state, f"{job}_iter{it:03d}")
         metrics_fn = metrics if callable(metrics) else None
         new_state = new_state.persist()
-        do_ckpt = it % checkpoint_every == 0 or (
+        do_ckpt = it % trunc == 0 or (
             metrics_fn is None and stop.should_stop(it, metrics)
         )
 
@@ -339,7 +391,10 @@ def iterate(
             new_state.unpersist()
             new_state = committed.persist()
         elif do_ckpt:
-            new_state.count()
+            # ONE action: the eager localCheckpoint executes through the
+            # just-persisted cache (populating it on the way), truncates
+            # lineage, and — verified — resolves any attached observe
+            # metrics; a separate count() first would be a second job.
             new_state = _truncate(new_state)
         else:
             new_state.count()  # materialize before dropping the parent

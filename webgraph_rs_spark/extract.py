@@ -82,16 +82,54 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_links_py)
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages -> (url, text, links array) via the Arrow-vectorized UDFs.
+_EXTRACT_SCHEMA = ST.StructType(
+    [
+        ST.StructField("text", ST.StringType()),
+        ST.StructField("links", ST.ArrayType(ST.StringType())),
+    ]
+)
 
-    Column-pruned: only ``url`` and ``html`` are read from the scan.
-    """
+
+@F.pandas_udf(_EXTRACT_SCHEMA)
+def extract_both_udf(html: pd.Series) -> pd.DataFrame:
+    """text + links in ONE Python evaluation (guide §4.1): the html bytes
+    cross the JVM->Arrow->Python boundary once instead of twice, and the
+    utf-8 decode is shared. Values are byte-identical to the two split UDFs
+    (same ``extract_*_py`` pipelines over the same decoded string)."""
+    texts: list[str] = []
+    links: list[list[str]] = []
+    for hb in html:
+        if hb is None:
+            texts.append("")
+            links.append([])
+            continue
+        s = hb.decode("utf-8", errors="replace")
+        # text pipeline (extract_text_py over the shared decode)
+        t = _SCRIPT_RE.sub(" ", s)
+        t = _COMMENT_RE.sub(" ", t)
+        t = _BLOCK_TAG_RE.sub("\n", t)
+        t = _ANY_TAG_RE.sub(" ", t)
+        t = _htmlmod.unescape(t)
+        lines = []
+        for line in t.split("\n"):
+            line = _SPACES_RE.sub(" ", line).strip()
+            if line:
+                lines.append(line)
+        texts.append("\n".join(lines))
+        # links pipeline (extract_links_py over the shared decode)
+        ls = _COMMENT_RE.sub(" ", s)
+        links.append([_htmlmod.unescape(m) for m in _HREF_RE.findall(ls)])
+    return pd.DataFrame({"text": texts, "links": links})
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages -> (url, text, links array) via the Arrow-vectorized UDF.
+
+    Column-pruned: only ``url`` and ``html`` are read from the scan; one
+    ArrowEvalPython stage for both outputs (was two)."""
     return pages.select(
-        "url",
-        extract_text_udf(F.col("html")).alias("text"),
-        extract_links_udf(F.col("html")).alias("links"),
-    )
+        "url", extract_both_udf(F.col("html")).alias("_ex")
+    ).select("url", F.col("_ex.text").alias("text"), F.col("_ex.links").alias("links"))
 
 
 def verify_extraction(pages: DataFrame) -> DataFrame:
@@ -145,5 +183,5 @@ def build_graph_from_pages(
     if dedup_links:
         edges = edges.dropDuplicates(["src", "dst"])
     vertices = d.select("id")
-    g = LinkGraph(canonical_edge_layout(edges), vertices)
+    g = LinkGraph(canonical_edge_layout(edges), vertices, src_layout=True)
     return g, d

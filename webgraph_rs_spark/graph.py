@@ -44,6 +44,13 @@ class LinkGraph:
     vertices: DataFrame
     _num_nodes: int | None = field(default=None, repr=False)
     _num_arcs: int | None = field(default=None, repr=False)
+    # True when ``edges`` is known to be hash-partitioned by ``src`` (the
+    # canonical layout). Algorithms that need that layout then reuse
+    # ``edges`` directly — when the caller persisted the graph (the normal
+    # pattern) this skips a per-operator re-shuffle AND a duplicate cache
+    # of the edge table (guide §2.4 "two operations keyed the same way can
+    # share one exchange").
+    src_layout: bool = field(default=False, repr=False)
 
     # -- cardinalities (reference: labels.rs:96-101; cached like `.properties`)
     @property
@@ -113,12 +120,41 @@ def canonical_edge_layout(edges: DataFrame, num_partitions: int | None = None) -
     """
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    ).dropDuplicates(["src", "dst"])
+    )
+    # ONE exchange, not two (guide §2.4): repartition by src FIRST — a
+    # hash(src) distribution already satisfies the (src, dst) clustering the
+    # dedup aggregate requires (all rows of a given (src, dst) share the
+    # same src hash), so Catalyst inserts no second exchange for
+    # dropDuplicates. The old order (dedup on (src, dst), then repartition
+    # by src) shuffled the edge table twice.
     if num_partitions:
         e = e.repartition(num_partitions, "src")
     else:
         e = e.repartition("src")
-    return e.sortWithinPartitions("src", "dst")
+    return e.dropDuplicates(["src", "dst"]).sortWithinPartitions("src", "dst")
+
+
+def edges_by_src(g: LinkGraph) -> tuple[DataFrame, bool]:
+    """A persisted, hash(src)-partitioned view of ``g.edges``.
+
+    Returns ``(edges, owned)``: ``owned=False`` means the graph's own edge
+    table was reused (it is already in the canonical src layout and already
+    persisted by the caller — do NOT unpersist it); ``owned=True`` means this
+    call persisted something (either ``g.edges`` itself or a re-partitioned
+    copy) that the consumer must unpersist when done.
+
+    Guide §2.4: algorithms used to unconditionally
+    ``g.edges.repartition("src").persist()`` — on a canonical, caller-
+    persisted graph that re-shuffled and double-cached the (at scale,
+    dominant) edge table once per operator.
+    """
+    if g.src_layout:
+        if g.edges.is_cached:
+            return g.edges, False
+        g.edges.persist()
+        return g.edges, True
+    e = g.edges.repartition("src").persist()
+    return e, True
 
 
 def from_edges(
@@ -139,16 +175,16 @@ def from_edges(
     e = canonical_edge_layout(edges) if layout else edges
     if vertices is not None:
         v = vertices.select(F.col("id").cast("long").alias("id"))
-        return LinkGraph(e, v)
+        return LinkGraph(e, v, src_layout=layout)
     if num_nodes is not None:
         v = spark.range(num_nodes).select(F.col("id").cast("long"))
-        return LinkGraph(e, v, _num_nodes=num_nodes)
+        return LinkGraph(e, v, _num_nodes=num_nodes, src_layout=layout)
     v = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    return LinkGraph(e, v)
+    return LinkGraph(e, v, src_layout=layout)
 
 
 def from_arc_list(

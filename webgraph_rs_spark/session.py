@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # safety net for iterative jobs: plan STRINGS (explain, AQE
+        # plan-change events) are built by expanding the logical DAG into a
+        # tree — an un-truncated iterative lineage can make that string
+        # gigabytes and OOM the driver even though execution is fine. Cap
+        # it (output is truncated with a marker; no semantic effect).
+        .config("spark.sql.maxPlanStringLength", str(4 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

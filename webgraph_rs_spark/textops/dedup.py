@@ -21,6 +21,7 @@ exactly by the DuckDB oracles).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from webgraph_rs_spark.textops.textstats import tokenize_col, token_hash
@@ -54,22 +55,30 @@ SIMHASH_BITS = 32
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, keeper): every doc mapped to the min-id doc with identical
-    (md5 of) text. Survivors are rows with doc_id == keeper."""
+    (md5 of) text. Survivors are rows with doc_id == keeper.
+
+    One shuffle (window min over the hash partition) — the old
+    groupBy-then-join shape shuffled the doc table twice (guide §2.4: a
+    window partitioned like the preceding aggregation shares the exchange;
+    here it REPLACES aggregation + join outright)."""
     h = df.select(id_col, F.md5(F.col(text_col)).alias("h"))
-    keeper = h.groupBy("h").agg(F.min(id_col).alias("keeper"))
-    return h.join(keeper, "h").select(id_col, "keeper")
+    return h.select(
+        id_col, F.min(id_col).over(W.partitionBy("h")).alias("keeper")
+    )
 
 
 def _shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle string)."""
+    """Distinct word n-gram shingles per doc: (id, shingle string).
+
+    Per-doc distinctness is computed MAP-SIDE (``array_distinct`` on the
+    per-row gram array before the explode) — zero shuffle; the old
+    explode-then-dropDuplicates shape paid a full (id, shingle) exchange
+    for the same result (guide §2.3 "aggregate before you shuffle")."""
     toks = tokenize_col(F.col(text_col))
     d = df.select(id_col, toks.alias("_t")).filter(F.size("_t") >= n)
     idx = F.sequence(F.lit(0), F.size("_t") - n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)))
-    return (
-        d.select(id_col, F.explode(grams).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    return d.select(id_col, F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -149,7 +158,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>[MH_HASHES]) MinHash over word n-gram *shingle*
     sets — the same sets the Jaccard verification uses. (Unigram-token
@@ -157,8 +170,12 @@ def minhash_signatures(
     near-identical across documents even when shingle sets differ.)
 
     h_small = md5-int(shingle) % P1; sig_j = min over shingles of
-    (a_j * h_small + b_j) % P2 — all inside long range."""
-    t = _shingles(df, n, text_col, id_col)
+    (a_j * h_small + b_j) % P2 — all inside long range.
+
+    ``shingles``: optional precomputed :func:`_shingles` table (callers that
+    also verify candidates pass a persisted one so the shingle explode runs
+    once, not twice)."""
+    t = shingles if shingles is not None else _shingles(df, n, text_col, id_col)
     h = t.select(id_col, (token_hash(F.col("shingle")) % MH_P1).alias("hs"))
     aggs = [
         F.min((F.col("hs") * a + b) % MH_P2).alias(f"mh{j}")
@@ -183,8 +200,22 @@ def minhash_lsh_pairs(
 
     Bands of MH_HASHES/MH_BANDS rows; docs colliding in any band become
     candidates. Output: (a, b, jaccard) for verified pairs (or candidates
-    with jaccard null when verify=False)."""
-    sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
+    with jaccard null when verify=False).
+
+    With ``verify=True`` the shingle table is built ONCE, persisted, and
+    shared between signature generation and the exact-Jaccard verification
+    (it used to be recomputed — the doc tokenize + gram explode is the
+    dominant map-side cost); the returned pair table is materialized so the
+    shingle cache can be released before returning — caller owns the
+    handle."""
+    sh = None
+    if verify:
+        sh = _shingles(df, n, text_col, id_col).persist()
+        sig = minhash_signatures(
+            df, n=n, text_col=text_col, id_col=id_col, shingles=sh
+        )
+    else:
+        sig = minhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
     rows = MH_HASHES // MH_BANDS
     bands = []
     for bnd in range(MH_BANDS):
@@ -209,7 +240,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = _shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     pair_sh = (
         cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
@@ -218,7 +248,7 @@ def minhash_lsh_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         cand.join(pair_sh, ["a", "b"], "left")
         .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sa")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sb")), "b")
@@ -232,7 +262,11 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .persist()
     )
+    out.count()
+    sh.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -243,11 +277,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     JVM-side and is exactly mirrored in SQL (integer div/mod bit extraction).
     """
     toks = tokenize_col(F.col(text_col))
-    t = (
-        df.select(id_col, F.explode(toks).alias("tok"))
-        .dropDuplicates([id_col, "tok"])
-        .select(id_col, token_hash(F.col("tok")).alias("h"))
-    )
+    # per-doc distinct tokens map-side (array_distinct before explode) —
+    # the old explode + dropDuplicates paid an (id, tok) exchange for it
+    t = df.select(
+        id_col, F.explode(F.array_distinct(toks)).alias("tok")
+    ).select(id_col, token_hash(F.col("tok")).alias("h"))
     bit_cols = [
         F.sum(F.shiftright(F.col("h"), i) % 2 * 2 - 1).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
