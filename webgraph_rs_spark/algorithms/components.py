@@ -133,9 +133,12 @@ def connected_components(
         job=job,
         checkpoint_every=checkpoint_every,
         resume=resume,
-        # the gather reads the (separately checkpointed) frontier, so the
-        # state subplan is embedded once per round — linear plan growth
-        truncate_every=6,
+        # the gather reads the (separately checkpointed) frontier, so plan
+        # DEPTH grows linearly — but planning cost over the chain is
+        # super-linear (measured: rounds 1-5 at 1.2-3.0 s, round 6 at 12-16 s
+        # with truncate_every=6; CacheManager lookups canonicalize the whole
+        # chain per registered entry), so keep the window short
+        truncate_every=3,
     )
     while cache_rounds:
         for d in cache_rounds.pop(0):

@@ -273,7 +273,7 @@ def label_propagation(
         resume=resume,
         # the step embeds the state subplan twice (gather + adopt join),
         # plus the volume/gain joins when enabled — keep ~2^K small
-        truncate_every=4 if (gamma == 0.0 and min_gain is None) else 2,
+        truncate_every=3 if (gamma == 0.0 and min_gain is None) else 2,
     )
     while cache_rounds:
         for d in cache_rounds.pop(0):

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from webgraph_rs_spark.driver import CheckpointStore, maybe_explain, release_state
@@ -208,36 +208,55 @@ def strongly_connected_components(
     if resumed_from is not None and n_alive > 0:
         _swap_edges(alive, n_alive)
 
+    # Restriction policy: re-restricting + re-caching BOTH edge layouts per
+    # round is only worth it when the alive set actually shrank — a round
+    # that trims 0.04% of the nodes (typical first-round web shape) would
+    # pay two edge-table materializations to save nothing. The phases stay
+    # EXACT over stale (over-wide) edge tables because every join keys on
+    # alive-restricted state: colors seed from ``alive``, the intra-color
+    # table inner-joins colors on both endpoints, and the degree table is
+    # maintained by exact removal deltas (an edge decrements a survivor's
+    # degree exactly once — when its other endpoint is removed — whether or
+    # not the edge rows of earlier-removed nodes are still present). So the
+    # layouts are refreshed only when the alive set has HALVED since the
+    # last restriction, bounding wasted scan width at 2x.
+    n_last_swap = n_alive
+    deg = None  # carried across rounds, delta-maintained
+
     while n_alive > 0 and rounds < max_outer:
         rounds += 1
         _round_t0 = _time.time()
+        _trim_t0 = _time.time()
         # ---- 1. TRIM to fixpoint: peel in/out-degree-0 nodes by deltas
-        outd = by_src.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("od")
-        )
-        ind = by_dst.groupBy(F.col("dst").alias("id")).agg(
-            F.count(F.lit(1)).alias("idg")
-        )
-        deg = (
-            alive.join(outd, "id", "left")
-            .join(ind, "id", "left")
-            .select(
-                "id",
-                F.coalesce("od", F.lit(0)).alias("od"),
-                F.coalesce("idg", F.lit(0)).alias("idg"),
+        if deg is None:
+            outd = by_src.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("od")
             )
-            .localCheckpoint()
-        )
+            ind = by_dst.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("idg")
+            )
+            deg = (
+                alive.join(outd, "id", "left")
+                .join(ind, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("od", F.lit(0)).alias("od"),
+                    F.coalesce("idg", F.lit(0)).alias("idg"),
+                )
+                .localCheckpoint()
+            )
         trimmed_total = 0
         trim_iters = 0
         while True:
             trim_iters += 1
+            obs = Observation()
             dead = (
                 deg.filter((F.col("od") <= 0) | (F.col("idg") <= 0))
                 .select("id")
+                .observe(obs, F.count(F.lit(1)).alias("c"))
                 .localCheckpoint()
             )
-            n_dead = dead.count()
+            n_dead = int(obs.get.get("c") or 0)
             if n_dead == 0:
                 release_state(dead)
                 break
@@ -289,10 +308,12 @@ def strongly_connected_components(
         if trimmed_total:
             old_alive = alive
             alive = deg.select("id").localCheckpoint()
-            _swap_edges(alive, n_alive)
             release_state(old_alive)
-        if deg is not None:
-            release_state(deg)
+            if n_alive * 2 <= n_last_swap:
+                _swap_edges(alive, n_alive)
+                n_last_swap = n_alive
+        _trim_sec = _time.time() - _trim_t0
+        _color_t0 = _time.time()
 
         # ---- 2. COLOR: forward max propagation (color = max id reaching v)
         # colors/frontier are views over the one checkpointed frame per
@@ -339,24 +360,66 @@ def strongly_connected_components(
                 cur = step_out.select("id", "color")
                 fr = step_out.filter(F.col("_chg")).select("id", "color")
             maybe_explain(step_out, f"scc_color_iter{color_iters:03d}")
-            new_colors = step_out.localCheckpoint()
-            n_changed = new_colors.filter(F.col("_chg")).count()
+            # changed count rides the checkpoint action as an observe
+            # metric — one job per materialization instead of two
+            obs = Observation()
+            new_colors = step_out.observe(
+                obs, F.sum(F.col("_chg").cast("long")).alias("c")
+            ).localCheckpoint()
+            n_changed = int(obs.get.get("c") or 0)
             release_state(colors_ck)
             colors_ck = new_colors
             colors = new_colors.select("id", "color")
             frontier = new_colors.filter(F.col("_chg")).select("id", "color")
             if n_changed == 0:
                 break
+        _color_sec = _time.time() - _color_t0
+        _extract_t0 = _time.time()
 
         # ---- 3. EXTRACT: backward BFS from every color root, within color
         roots = colors.filter(F.col("id") == F.col("color")).select(
             F.col("id").alias("root")
         )
-        reached = roots.select(
-            "root", F.col("root").alias("id")
-        ).localCheckpoint()
-        frontier = reached
+        seed = roots.select("root", F.col("root").alias("id")).localCheckpoint()
+        n_seed = seed.count()
+        # Intra-color edge table, built ONCE per round: the backward BFS
+        # only ever walks edges whose endpoints share a color (reached =>
+        # color == root on both sides), so tagging the edges up front
+        # removes the per-level (vertex-sized) colors join + filter — and
+        # with the colors side broadcast while small (_gated, same
+        # web-scale fallback as every other restrict) the build does not
+        # move the edge table at all. Stays in the by_dst layout.
+        intra = (
+            by_dst.join(
+                _gated(
+                    colors.withColumnRenamed("id", "dst").withColumnRenamed(
+                        "color", "_cd"
+                    ),
+                    n_alive,
+                ),
+                "dst",
+            )
+            .join(
+                _gated(
+                    colors.withColumnRenamed("id", "src").withColumnRenamed(
+                        "color", "_cs"
+                    ),
+                    n_alive,
+                ),
+                "src",
+            )
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst")
+            .persist()
+        )
+        # reached stays a LAZY union of the per-level frontier checkpoints
+        # (each already lineage-free) — re-checkpointing the whole reached
+        # set per level was one extra vertex-sized job every level
+        reached_hold: list[DataFrame] = [seed]
+        reached = seed
+        frontier = seed
         extract_iters = 0
+        extracted = n_seed
         n_next = n_alive
         # Same adaptive amortization as COLOR: expand up to EXTRACT_UNROLL
         # backward-BFS levels lazily (per-level distinct keeps set
@@ -371,34 +434,31 @@ def strongly_connected_components(
             for _ in range(unroll):
                 extract_iters += 1
                 fr = (
-                    by_dst.join(
+                    intra.join(
                         fr.withColumnRenamed("id", "dst").hint("shuffle_hash"),
                         "dst",
                     )
                     .select("root", F.col("src").alias("id"))
                     .distinct()
-                    .join(colors, "id")
-                    .filter(F.col("color") == F.col("root"))
-                    .select("root", "id")
                 )
                 levels.append(fr)
             cand = levels[0]
             for lv in levels[1:]:
                 cand = cand.unionByName(lv)
+            obs = Observation()
             nxt = (
                 cand.distinct()
                 .join(reached, ["root", "id"], "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("c"))
                 .localCheckpoint()
             )
-            n_next = nxt.count()
-            if frontier is not reached:
-                release_state(frontier)
+            n_next = int(obs.get.get("c") or 0)
             if n_next == 0:
                 release_state(nxt)
                 break
-            old_reached = reached
-            reached = reached.unionByName(nxt).localCheckpoint()
-            release_state(old_reached)
+            reached_hold.append(nxt)
+            reached = reached.unionByName(nxt)
+            extracted += n_next
             frontier = nxt
 
         scc_min = reached.groupBy("root").agg(F.min("id").alias("label"))
@@ -407,25 +467,69 @@ def strongly_connected_components(
         )
         parts.append(scc_labels)
         hold.append(scc_labels)
-        extracted = reached.count()
 
         member_ids = reached.select("id").localCheckpoint()
-        release_state(reached)
+        intra.unpersist()
+        for h in reached_hold:
+            release_state(h)
         release_state(colors_ck)
         old_alive = alive
         alive = alive.join(member_ids, "id", "left_anti").localCheckpoint()
         n_alive = alive.count()
-        if n_alive > 0:  # loop exits anyway when nothing is left
-            _swap_edges(alive, n_alive)
+        if n_alive > 0:
+            # maintain the carried degree table by exact removal deltas
+            # (same arithmetic as the in-trim peels; see policy note above)
+            d_out = (
+                by_src.join(
+                    _gated(member_ids.withColumnRenamed("id", "dst"), extracted),
+                    "dst",
+                    "left_semi",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).alias("xo"))
+            )
+            d_in = (
+                by_dst.join(
+                    _gated(member_ids.withColumnRenamed("id", "src"), extracted),
+                    "src",
+                    "left_semi",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).alias("xi"))
+            )
+            new_deg = (
+                deg.join(member_ids, "id", "left_anti")
+                .join(d_out, "id", "left")
+                .join(d_in, "id", "left")
+                .select(
+                    "id",
+                    (F.col("od") - F.coalesce("xo", F.lit(0))).alias("od"),
+                    (F.col("idg") - F.coalesce("xi", F.lit(0))).alias("idg"),
+                )
+                .localCheckpoint()
+            )
+            release_state(deg)
+            deg = new_deg
+            if n_alive * 2 <= n_last_swap:
+                _swap_edges(alive, n_alive)
+                n_last_swap = n_alive
+        elif deg is not None:
+            release_state(deg)
+            deg = None
         release_state(old_alive)
         release_state(member_ids)
         metrics.append({"round": rounds, "trimmed": trimmed_total,
                         "extracted": extracted, "alive": n_alive,
                         "trim_iters": trim_iters, "color_iters": color_iters,
-                        "extract_iters": extract_iters})
+                        "extract_iters": extract_iters,
+                        "trim_sec": round(_trim_sec, 3),
+                        "color_sec": round(_color_sec, 3),
+                        "extract_sec": round(_time.time() - _extract_t0, 3)})
         _commit_round(_round_t0)
 
     release_state(alive)
+    if deg is not None:
+        release_state(deg)
     if by_src is not base_src:
         by_src.unpersist()
         by_dst.unpersist()
