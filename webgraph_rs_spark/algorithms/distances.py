@@ -398,7 +398,20 @@ def hyperball(
             F.hll_union_agg("sketch").alias("sketch")
         )
         maybe_explain(recomputed, f"{job}_union_iter{t:03d}")
-        recomputed = recomputed.localCheckpoint()
+        # Keep the sketch state CACHED between truncations instead of
+        # localCheckpointing every iteration: the cache preserves the
+        # groupBy's hash(id) partitioning, so next iteration's gather join
+        # (state renamed id->dst against the dst-partitioned edges) is
+        # fully zipped — the state is the HEAVY table here (65k x ~KB
+        # sketches dwarf the 16-byte edge rows), so not re-shuffling it is
+        # the byte win (guide §2.3 "shuffle keys/metadata, not payloads").
+        # Truncate lineage every 3rd iteration (state is embedded ~2x per
+        # iteration by the gather + accumulator joins — driver.py growth
+        # note).
+        if t % 3 == 0:
+            recomputed = recomputed.localCheckpoint()
+        else:
+            recomputed = recomputed.persist()
         rb = recomputed.select(
             "id",
             F.hll_sketch_estimate("sketch").cast("double").alias("nb"),
