@@ -72,23 +72,28 @@ def connected_components(
     per-round states equal the full-rescan ones; at the long-tail of
     convergence this turns edge-sized scans into frontier-sized ones. Small
     frontiers are broadcast.
+
+    Single-action iterations (guide §1.2 order-1, §2.4): the frontier is
+    the ``_chg`` COLUMN of the state itself — next round filters the
+    driver-managed (persisted/truncated) state instead of maintaining a
+    separately checkpointed frontier table, and the ``modified`` count
+    rides the driver's own materializing action as an ``observe`` metric.
+    One Spark job per round, where the old shape paid three (frontier
+    checkpoint + count + state materialization).
     """
+    from pyspark.sql import Observation
+
     spark = g.edges.sparkSession
     sym = _sym_edges(g, partition_by="src").persist()
     sym.count()
-    state0 = g.vertices.select("id", F.col("id").alias("label"))
+    state0 = g.vertices.select(
+        "id", F.col("id").alias("label"), F.lit(True).alias("_chg")
+    )
+    fr_n: dict = {"n": None}  # last round's frontier size (observe metric)
 
-    # per-round persisted handles; round k still reads round k-1's frontier,
-    # so handles are released two rounds after creation
-    cache_rounds: list[list[DataFrame]] = []
-    frontier: dict = {"df": None, "n": None}  # changed (id, label) rows
-
-    def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
-        while len(cache_rounds) > 1:
-            for d in cache_rounds.pop(0):
-                release_state(d)
-        src_labels = frontier["df"] if frontier["df"] is not None else state
-        if frontier["n"] is not None and frontier["n"] <= 1_000_000:
+    def step(state: DataFrame, it: int):
+        src_labels = state.filter(F.col("_chg")).select("id", "label")
+        if fr_n["n"] is not None and fr_n["n"] <= 1_000_000:
             src_labels = F.broadcast(src_labels)
         else:
             src_labels = src_labels.hint("shuffle_hash")
@@ -98,7 +103,7 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         new = (
-            state.join(nbr_min, "id", "left")
+            state.select("id", "label").join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(
@@ -109,19 +114,17 @@ def connected_components(
                 ),
             )
         )
-        new = new.persist()
-        # localCheckpoint the frontier: it is carried ACROSS rounds outside
-        # the driver's state truncation, so without it the plan tree doubles
-        # per round (frontier_k references new_k references frontier_{k-1}).
-        changed = (
-            new.filter(F.col("_chg")).select("id", "label").localCheckpoint()
+        obs = Observation()
+        observed = new.observe(
+            obs, F.sum(F.col("_chg").cast("long")).alias("m")
         )
-        cache_rounds.append([new, changed])
-        modified = changed.count()
-        frontier["df"] = changed if modified > 0 else None
-        frontier["n"] = modified
-        out = new.select("id", "label")
-        return out, {"modified": modified, "frontier_rows": modified}
+
+        def metrics_fn() -> dict:
+            m = int(obs.get.get("m") or 0)
+            fr_n["n"] = m
+            return {"modified": m, "frontier_rows": m}
+
+        return observed, metrics_fn
 
     stop = MetricZero("modified") | MaxIter(max_iter)
     res = iterate(
@@ -133,18 +136,13 @@ def connected_components(
         job=job,
         checkpoint_every=checkpoint_every,
         resume=resume,
-        # the gather reads the (separately checkpointed) frontier, so plan
-        # DEPTH grows linearly — but planning cost over the chain is
-        # super-linear (measured: rounds 1-5 at 1.2-3.0 s, round 6 at 12-16 s
-        # with truncate_every=6; CacheManager lookups canonicalize the whole
-        # chain per registered entry), so keep the window short
+        # the step embeds the state subplan twice (frontier filter +
+        # adopt join) — plans grow ~2^K between truncations (driver.py)
         truncate_every=3,
     )
-    while cache_rounds:
-        for d in cache_rounds.pop(0):
-            release_state(d)
     sym.unpersist()
-    return CCResult(res.state, res.iterations, res.metrics_history, res.resumed_from)
+    labels = res.state.select("id", "label")
+    return CCResult(labels, res.iterations, res.metrics_history, res.resumed_from)
 
 
 def cc_star(

@@ -41,7 +41,6 @@ from webgraph_rs_spark.driver import (
     MetricBelow,
     MetricZero,
     iterate,
-    release_state,
 )
 from webgraph_rs_spark.graph import LinkGraph
 from webgraph_rs_spark.algorithms.components import _sym_edges
@@ -95,6 +94,8 @@ def label_propagation(
     test remains sound; blocked nodes are carried in the frontier so
     they re-evaluate even if their neighborhood goes quiet.
     """
+    from pyspark.sql import Observation
+
     spark = g.edges.sparkSession
     own_edges = True
     if symmetrize:
@@ -105,32 +106,39 @@ def label_propagation(
         edges, own_edges = edges_by_src(g)
     edges.count()
     n_vertices = g.num_nodes
-    state0 = g.vertices.select("id", F.col("id").alias("label"))
+    state0 = g.vertices.select(
+        "id",
+        F.col("id").alias("label"),
+        F.lit(True).alias("_chg"),
+        F.lit(True).alias("_prop"),
+    )
 
     if damping not in (None, "half"):
         raise ValueError(f"unknown damping mode {damping!r}")
-    # round k still reads round k-1's frontier — release two rounds later
-    cache_rounds: list[list[DataFrame]] = []
-    # changed ids from last round; "gated" = nodes whose proposal was
-    # damped away (they must re-evaluate even with a quiet neighborhood)
-    frontier: dict = {"df": None, "n": None, "gated": None}
+    # Single-action rounds (guide §1.2-order-1, §2.4, mirroring CC): the
+    # frontier (changed ids) and the damping-gated set are the ``_chg`` /
+    # ``_prop`` COLUMNS of the driver-managed state — views filtered per
+    # round instead of separately checkpointed tables — and the round's
+    # counts ride the driver's materializing action as observe metrics.
+    # counts from last round's observe: n_chg (adopted), n_prop (proposals)
+    frontier: dict = {"n_chg": None, "n": None}
 
-    def step(state: DataFrame, it: int) -> tuple[DataFrame, dict]:
-        while len(cache_rounds) > 1:
-            for d in cache_rounds.pop(0):
-                release_state(d)
-        fr = frontier["df"]
+    def step(state: DataFrame, it: int):
+        n_fr = frontier["n"]
+        has_gated = (
+            damping == "half"
+            and frontier["n_chg"] is not None
+            and frontier["n"] > frontier["n_chg"]
+        )
         # the two semi-joins only pay off once the frontier has shrunk —
-        # with most nodes still changing, a full rescan is cheaper
-        if fr is not None and frontier["n"] is not None and frontier[
-            "n"
-        ] * 2 > n_vertices:
-            fr = None
-        if fr is None:
+        # with most nodes still changing (or on the first round), a full
+        # rescan is cheaper
+        if n_fr is None or n_fr * 2 > n_vertices:
             sub_edges = edges
         else:
+            fr = state.filter(F.col("_chg")).select("id")
             fr_src = fr.withColumnRenamed("id", "src")
-            if frontier["n"] is not None and frontier["n"] <= 1_000_000:
+            if n_fr is not None and n_fr <= 1_000_000:
                 fr_src = F.broadcast(fr_src)
             # nodes with >= 1 changed in-neighbor are the only ones whose
             # neighbor-label counts changed; gather ALL their in-edges
@@ -139,17 +147,23 @@ def label_propagation(
                 .select(F.col("dst"))
                 .distinct()
             )
-            if frontier["gated"] is not None:
+            if has_gated:
+                gated = state.filter(
+                    F.col("_prop") & ~F.col("_chg")
+                ).select("id")
                 affected = affected.unionByName(
-                    frontier["gated"].withColumnRenamed("id", "dst")
+                    gated.withColumnRenamed("id", "dst")
                 ).distinct()
             # affected is bounded by the frontier's out-neighborhood —
             # broadcast only while the frontier itself is small
-            if frontier["n"] is not None and frontier["n"] <= 100_000:
+            if n_fr is not None and n_fr <= 100_000:
                 affected = F.broadcast(affected)
             sub_edges = edges.join(affected, "dst", "left_semi")
         gathered = sub_edges.join(
-            state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            state.select("id", "label").withColumnRenamed("id", "src").hint(
+                "shuffle_hash"
+            ),
+            "src",
         ).select(
             F.col("dst").alias("id"), "label"
         )
@@ -187,40 +201,42 @@ def label_propagation(
         else:
             adopted = proposed
         new = (
-            state.join(best.select("id", "new_label"), "id", "left")
+            state.select("id", "label")
+            .join(best.select("id", "new_label"), "id", "left")
             .select(
                 "id",
                 adopted.alias("label"),
                 (adopted != F.col("label")).alias("_chg"),
                 (proposed != F.col("label")).alias("_prop"),
             )
-        ).persist()
-        # localCheckpoint: the frontier crosses rounds outside the driver's
-        # state truncation — without it the plan tree doubles per round
-        changed = new.filter(F.col("_chg")).select("id").localCheckpoint()
-        gated = None
-        if damping == "half":
-            gated = (
-                new.filter(F.col("_prop") & ~F.col("_chg"))
-                .select("id")
-                .localCheckpoint()
-            )
-        cache_rounds.append([new, changed] + ([gated] if gated is not None else []))
-        n_changed = changed.count()
-        # under damping, "modified" counts PROPOSALS (wanted-to-change):
-        # stopping on adoptions alone would mistake a fully-gated round
-        # for the fixpoint
-        modified = n_changed if gated is None else n_changed + gated.count()
-        frontier["df"] = changed if n_changed > 0 else None
-        # gate broadcasts/rescans on PROPOSALS: the affected set unions the
-        # gated nodes in, so sizing on adopted-only could oversize a
-        # broadcast when most proposals were damped away
-        frontier["n"] = modified
-        frontier["gated"] = (
-            gated if gated is not None and modified > n_changed else None
         )
-        metrics = {"modified": modified, "frontier_rows": n_changed}
-        if min_gain is not None:
+        obs = Observation()
+        observed = new.observe(
+            obs,
+            F.sum(F.col("_chg").cast("long")).alias("c"),
+            F.sum(F.col("_prop").cast("long")).alias("p"),
+        )
+
+        def metrics_fn() -> dict:
+            vals = obs.get
+            n_changed = int(vals.get("c") or 0)
+            # under damping, "modified" counts PROPOSALS (wanted-to-
+            # change): stopping on adoptions alone would mistake a
+            # fully-gated round for the fixpoint
+            modified = (
+                n_changed if damping is None else int(vals.get("p") or 0)
+            )
+            frontier["n_chg"] = n_changed
+            # gate broadcasts/rescans on PROPOSALS: the affected set
+            # unions the gated nodes in, so sizing on adopted-only could
+            # oversize a broadcast when most proposals were damped away
+            frontier["n"] = modified
+            metrics = {"modified": modified, "frontier_rows": n_changed}
+            if min_gain is not None:
+                metrics["gain"] = gain_fn()
+            return metrics
+
+        def gain_fn() -> float:
             # objective gain of this round: sum over switched nodes of
             # (new best score - old label's score under the same counts).
             # An old label absent from `counts` scored 0 at gamma=0, else
@@ -254,8 +270,9 @@ def label_propagation(
                 .agg(F.sum(F.col("_nsc") - F.col("_osc")).alias("g"))
                 .collect()[0]
             )
-            metrics["gain"] = float(grow["g"] or 0.0)
-        return new.select("id", "label"), metrics
+            return float(grow["g"] or 0.0)
+
+        return observed, metrics_fn
 
     stop = MetricZero("modified") | MaxIter(max_iter)
     if min_gain is not None:
@@ -275,9 +292,7 @@ def label_propagation(
         # plus the volume/gain joins when enabled — keep ~2^K small
         truncate_every=3 if (gamma == 0.0 and min_gain is None) else 2,
     )
-    while cache_rounds:
-        for d in cache_rounds.pop(0):
-            release_state(d)
     if own_edges:
         edges.unpersist()
-    return LPResult(res.state, res.iterations, res.metrics_history, res.resumed_from)
+    labels = res.state.select("id", "label")
+    return LPResult(labels, res.iterations, res.metrics_history, res.resumed_from)
