@@ -51,8 +51,8 @@ def main() -> None:
 
     rec = {
         "graph": "cnr-2000",
-        "num_nodes": g.num_nodes(),
-        "num_arcs": g.num_arcs(),
+        "num_nodes": g.num_nodes,
+        "num_arcs": g.num_arcs,
         "radius": res.radius,
         "diameter": res.diameter,
         "radial_node": res.radial_node,

@@ -116,9 +116,14 @@ def bfs_distances(
             n_cand = cand.count()
         nxt = cand.join(visited_ids, "id", "left_anti")
         maybe_explain(nxt, f"bfs_level{depth + 1:03d}")
-        nxt = nxt.localCheckpoint()
+        # the frontier size rides the eager-checkpoint action as an
+        # observe metric — one job per level, not checkpoint + count
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
         depth += 1
-        n_frontier = nxt.count()
+        n_frontier = int(obs.get.get("n") or 0)
         if events:
             # Known events = distinct arrivals minus first-visits; filtered
             # nodes raise neither Unknown nor Known events

@@ -20,8 +20,10 @@ fixed-width) tokens, and one ``np.packbits`` produces the bitstream.
 Everything here reproduces ``_emit_list`` EXACTLY, bit for bit,
 including the block run-length conventions (leading empty copy run,
 dropped trailing run) and the signed first-interval/first-residual
-tokens — pinned by tests/test_bvcost.py's exhaustive parity check and
-by the cnr-2000 bit-identical golden.
+tokens — pinned by the scalar-decoder roundtrip suites in
+tests/test_bvgraph_golden.py / test_golden_cnr_style.py and by the
+cnr-2000 bit-identical golden (the vectorized encoder's output is
+decoded by the independent scalar decoder and compared element-wise).
 """
 
 from __future__ import annotations
@@ -648,12 +650,23 @@ def emit_range(
     toks["INTERVALS"] = (iv, ivs, ivp)
     toks["RESIDUALS"] = (rv, rvs, rvp)
 
-    # global stream order: (node, field rank, within-field pos)
+    # global stream order: (node, field rank, within-field pos), packed
+    # into one int64 sort key — node gets bits 35.., rank 32..34, pos
+    # 0..31. Guard the packing like the npair*M guard above: a range of
+    # >= 2^28 nodes or a within-field pos >= 2^32 would silently wrap the
+    # key, scramble the argsort and emit a corrupt bitstream; raising
+    # OverflowError instead routes the caller to the scalar fallback.
+    if n >= (1 << 28):
+        raise OverflowError("range too large for int64 stream-order key")
     all_vals, all_node, all_key = [], [], []
     for rank, f in enumerate(_FIELD_ORDER):
         v, nd, p = toks[f]
         if v.size == 0:
             continue
+        if int(np.asarray(p).max(initial=0)) >= (1 << 32):
+            raise OverflowError(
+                "within-field position too large for int64 stream-order key"
+            )
         all_vals.append(np.asarray(v, dtype=np.int64))
         all_node.append(nd)
         all_key.append(nd * (np.int64(8) << 32) + rank * (np.int64(1) << 32) + p)

@@ -401,7 +401,15 @@ def decode_range_arrays(
             break
         pd_ = depth[pidx[un]]
         ok = pd_ >= 0
-        depth[un[ok]] = pd_[ok] + 1
+        newly = un[ok]
+        depth[newly] = pd_[ok] + 1
+        # badness is transitive: a node resolving against a bad parent
+        # would copy from a never-assembled vals region (zeros) while
+        # passing the per-depth count checks — mark it bad so the
+        # bad[o:] output guard also catches corrupt streams whose
+        # output range chains onto such a node (only reachable for
+        # invalid inputs; valid streams keep all ancestors >= seed)
+        bad[newly] = bad[newly] | bad[pidx[newly]]
     still = depth < 0
     if still.any():
         # chain passes through an undecodable node — legal only below lo
