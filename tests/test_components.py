@@ -80,3 +80,22 @@ def test_chain_graph_star_converges_fast(spark):
     lab = _labels_array(res.labels, n)
     assert set(lab) == {0}
     assert res.iterations <= 12  # lp would need ~n rounds
+
+
+def test_cc_chain_tail_frontier_across_truncations(spark):
+    """r6 single-action internals: the frontier is the ``_chg`` column of
+    the driver-managed state (filtered view next round), which must stay
+    correct ACROSS lineage-truncation boundaries (truncate_every=3 —
+    rounds 3/6/9 hand back a LogicalRDD state whose ``_chg`` column the
+    next round filters). A chain graph keeps the frontier at O(1) nodes
+    for ~n rounds, crossing several truncations; labels must still equal
+    the union-find oracle and the public schema must stay (id, label)."""
+    n = 12
+    edges = [(i, i + 1) for i in range(n - 1)]  # directed chain 0->...->11
+    g = graph_from_pandas(spark, edges, n)
+    res = connected_components(g)
+    assert res.labels.columns == ["id", "label"]
+    assert res.iterations > 6  # crossed at least two truncation boundaries
+    expected = union_find_components(n, edges)
+    got = _labels_array(res.labels, n)
+    assert got.tolist() == list(expected)

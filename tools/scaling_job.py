@@ -85,7 +85,14 @@ def main() -> int:
     e = canonical_edge_layout(edges, num_partitions=PARTITIONS).persist()
     m = e.count()
     build_sec = time.monotonic() - t0
-    g = LinkGraph(e, spark.range(N_NODES).select("id"), _num_nodes=N_NODES)
+    # src_layout=True: the table IS the canonical hash(src) layout and is
+    # persisted here — pagerank's edges_by_src reuses it instead of
+    # re-shuffling + double-caching 134M arcs (the same flag from_edges
+    # sets; the old call left it unset and paid both at setup)
+    g = LinkGraph(
+        e, spark.range(N_NODES).select("id"), _num_nodes=N_NODES,
+        src_layout=True,
+    )
 
     res = pagerank(g, alpha=0.85, threshold=None, max_iter=PR_WARMUP + PR_TIMED)
     walls = sorted(m_["wall_sec"] for m_ in res.metrics_history[PR_WARMUP:])

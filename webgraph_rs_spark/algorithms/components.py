@@ -141,7 +141,11 @@ def connected_components(
         truncate_every=3,
     )
     sym.unpersist()
-    labels = res.state.select("id", "label")
+    # drop the internal _chg column and hand back a self-contained frame:
+    # a bare projection could not release the state's cache/checkpoint
+    # blocks (guide §5 unpersist hygiene), so materialize then release
+    labels = res.state.select("id", "label").localCheckpoint()
+    release_state(res.state)
     return CCResult(labels, res.iterations, res.metrics_history, res.resumed_from)
 
 

@@ -41,6 +41,7 @@ from webgraph_rs_spark.driver import (
     MetricBelow,
     MetricZero,
     iterate,
+    release_state,
 )
 from webgraph_rs_spark.graph import LinkGraph
 from webgraph_rs_spark.algorithms.components import _sym_edges
@@ -294,5 +295,8 @@ def label_propagation(
     )
     if own_edges:
         edges.unpersist()
-    labels = res.state.select("id", "label")
+    # materialize the (id, label) projection and release the internal
+    # state — a bare projection could not release its parent's blocks
+    labels = res.state.select("id", "label").localCheckpoint()
+    release_state(res.state)
     return LPResult(labels, res.iterations, res.metrics_history, res.resumed_from)
