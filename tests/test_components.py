@@ -99,3 +99,25 @@ def test_cc_chain_tail_frontier_across_truncations(spark):
     expected = union_find_components(n, edges)
     got = _labels_array(res.labels, n)
     assert got.tolist() == list(expected)
+
+
+def test_cc_resume_with_chg_state_schema(spark, tmp_path):
+    """r6: the durable-checkpoint state now carries the ``_chg`` frontier
+    column; a killed CC run must resume from it and reach labels identical
+    to an uninterrupted run (the resumed first round gathers from the
+    RESTORED frontier, not a full rescan)."""
+    from tests.oracles import erdos_renyi
+
+    n, edges = erdos_renyi(60, 0.05, seed=11)
+    g = graph_from_pandas(spark, edges, n)
+    ck = str(tmp_path / "cc_ck")
+    full = connected_components(g)
+    partial = connected_components(g, max_iter=2, checkpoint_dir=ck, job="cc")
+    assert partial.iterations == 2
+    resumed = connected_components(g, checkpoint_dir=ck, job="cc", resume=True)
+    assert resumed.resumed_from == 2
+    assert resumed.labels.columns == ["id", "label"]
+    assert (
+        _labels_array(resumed.labels, n).tolist()
+        == _labels_array(full.labels, n).tolist()
+    )
