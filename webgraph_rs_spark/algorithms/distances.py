@@ -371,6 +371,12 @@ def hyperball(
     # (its ``_moved`` column); only a resume materializes a standalone
     # checkpoint for it, tracked in ``changed_own`` for release.
     changed_own: DataFrame | None = changed
+    # Deferred-release list for truncation products (same policy as
+    # driver.iterate): a localCheckpoint state whose blocks back the
+    # lineage of the persist-only states that follow it is released only
+    # once the live state is self-contained again.
+    held_trunc: list[DataFrame] = []
+    state_is_trunc = True  # the seed state is a localCheckpoint
     from pyspark.sql import Observation
 
     for t in range(start_t + 1, max_iter + 1):
@@ -468,16 +474,26 @@ def hyperball(
         changed = acc.filter(F.col("_moved")).select("id")
 
         old_state = state
+        old_was_trunc = state_is_trunc
         if systolic:
             state = (
                 old_state.join(recomputed.select("id"), "id", "left_anti")
                 .unionByName(recomputed)
                 .localCheckpoint()
             )
+            state_is_trunc = True
             release_state(recomputed)
         else:
             state = recomputed
-        release_state(old_state)
+            state_is_trunc = t % 3 == 0
+        if old_was_trunc and not state_is_trunc:
+            held_trunc.append(old_state)  # live state's lineage roots here
+        else:
+            release_state(old_state)
+        if state_is_trunc and held_trunc:
+            for df in held_trunc:
+                release_state(df)
+            held_trunc.clear()
 
         total = nf[-1] + grew_abs
         rel_grow = grew_abs / max(nf[-1], 1.0)
@@ -502,6 +518,9 @@ def hyperball(
             break
     release_state(changed_own)
     release_state(state)
+    for df in held_trunc:  # nothing references them once state is gone
+        release_state(df)
+    held_trunc.clear()
     edges.unpersist()
     cent_plan = acc.select(
         "id",

@@ -287,7 +287,8 @@ class IterationResult:
 # stringification expand them as trees), so r=1 steps tolerate large K while
 # an r=3 step at K=6 builds a ~3^6-subplan tree — enough to OOM the driver
 # building the AQE plan-change string. Callers with r > 1 pass an explicit
-# truncate_every (pagerank 4, labelprop 4, birank 2, cc_star 2).
+# truncate_every (current values: pagerank 8 when threshold is None else 4,
+# connected_components 3, labelprop 3 or 2, birank 2, cc_star 2).
 DEFAULT_TRUNCATE_EVERY = 4
 
 
@@ -360,6 +361,20 @@ def iterate(
 
     state = state.persist()
     prev = None
+    # Truncation products (LogicalRDD / store re-reads) whose BLOCKS back
+    # the lineage of the persist-only states that follow them: between
+    # truncations a cached state's only recompute path roots at the last
+    # truncation product, so releasing that product per-iteration (the old
+    # policy) turned any lost cache block of a live state into an
+    # unrecoverable 'checkpoint block not found' failure. Their release is
+    # DEFERRED until the next truncation makes the live state
+    # self-contained again. Every stop path truncates the final state
+    # (do_ckpt on dict-metrics stops, the late-commit on observe-metrics
+    # stops), so the deferred list is always flushed by loop end except on
+    # the max_safety_iter valve, where leaking beats failing.
+    held_trunc: list[DataFrame] = []
+    prev_is_trunc = False
+    cur_is_trunc = False
     while it < max_safety_iter:
         t0 = time.monotonic()
         new_state, metrics = step(state, it)
@@ -367,6 +382,7 @@ def iterate(
         maybe_explain(new_state, f"{job}_iter{it:03d}")
         metrics_fn = metrics if callable(metrics) else None
         new_state = new_state.persist()
+        new_is_trunc = False
         do_ckpt = it % trunc == 0 or (
             metrics_fn is None and stop.should_stop(it, metrics)
         )
@@ -390,12 +406,14 @@ def iterate(
             )
             new_state.unpersist()
             new_state = committed.persist()
+            new_is_trunc = True
         elif do_ckpt:
             # ONE action: the eager localCheckpoint executes through the
             # just-persisted cache (populating it on the way), truncates
             # lineage, and — verified — resolves any attached observe
             # metrics; a separate count() first would be a second job.
             new_state = _truncate(new_state)
+            new_is_trunc = True
         else:
             new_state.count()  # materialize before dropping the parent
         if metrics_fn is not None:
@@ -415,10 +433,20 @@ def iterate(
                     new_state = committed.persist()
                 else:
                     new_state = _truncate(new_state)
+                new_is_trunc = True
         if prev is not None:
-            release_state(prev)
-        prev = state
-        state = new_state
+            if prev_is_trunc:
+                held_trunc.append(prev)  # later states' lineage needs it
+            else:
+                release_state(prev)
+        prev, prev_is_trunc = state, cur_is_trunc
+        state, cur_is_trunc = new_state, new_is_trunc
+        if new_is_trunc:
+            # the live state is self-contained again — flush the deferred
+            # truncation products (prev is consumed and never recomputed)
+            for df in held_trunc:
+                release_state(df)
+            held_trunc.clear()
         metrics = dict(
             metrics, iteration=it, wall_sec=round(time.monotonic() - t0, 3)
         )
@@ -427,4 +455,8 @@ def iterate(
             break
     if prev is not None:
         release_state(prev)
+    if cur_is_trunc:
+        for df in held_trunc:
+            release_state(df)
+        held_trunc.clear()
     return IterationResult(state, it, metrics_history, resumed_from)

@@ -147,6 +147,13 @@ def edges_by_src(g: LinkGraph) -> tuple[DataFrame, bool]:
     ``g.edges.repartition("src").persist()`` — on a canonical, caller-
     persisted graph that re-shuffled and double-cached the (at scale,
     dominant) edge table once per operator.
+
+    Ownership is decided from ``g.edges.is_cached`` at call time, which
+    assumes operators on one graph run SEQUENTIALLY (the model everywhere
+    in this engine): with two operators racing on the same uncached
+    graph, the first's cleanup could unpersist the table under the
+    second (correct results, silent recompute cost). Callers running
+    operators concurrently should persist the graph themselves first.
     """
     if g.src_layout:
         if g.edges.is_cached:

@@ -60,8 +60,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     One shuffle (window min over the hash partition) — the old
     groupBy-then-join shape shuffled the doc table twice (guide §2.4: a
     window partitioned like the preceding aggregation shares the exchange;
-    here it REPLACES aggregation + join outright)."""
-    h = df.select(id_col, F.md5(F.col(text_col)).alias("h"))
+    here it REPLACES aggregation + join outright). NULL-text rows are
+    dropped, exactly like the join-on-hash shape this replaces (a NULL
+    hash matches nothing in an equi-join; the window would otherwise
+    group all NULL hashes together — observable behavior change)."""
+    h = df.select(id_col, F.md5(F.col(text_col)).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     return h.select(
         id_col, F.min(id_col).over(W.partitionBy("h")).alias("keeper")
     )

@@ -23,7 +23,7 @@ def transpose(g: LinkGraph, layout: bool = True) -> LinkGraph:
     e = g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     if layout:
         e = canonical_edge_layout(e)
-    return LinkGraph(e, g.vertices, _num_nodes=g._num_nodes)
+    return LinkGraph(e, g.vertices, _num_nodes=g._num_nodes, src_layout=layout)
 
 
 def symmetrize(g: LinkGraph, remove_loops: bool = True) -> LinkGraph:
@@ -37,7 +37,10 @@ def symmetrize(g: LinkGraph, remove_loops: bool = True) -> LinkGraph:
     e = g.edges.unionByName(t)
     if remove_loops:
         e = e.filter(F.col("src") != F.col("dst"))
-    return LinkGraph(canonical_edge_layout(e), g.vertices, _num_nodes=g._num_nodes)
+    return LinkGraph(
+        canonical_edge_layout(e), g.vertices, _num_nodes=g._num_nodes,
+        src_layout=True,
+    )
 
 
 def remove_self_loops(g: LinkGraph) -> LinkGraph:
@@ -47,7 +50,11 @@ def remove_self_loops(g: LinkGraph) -> LinkGraph:
     down to the parquet scan when edges come straight from storage.
     """
     return LinkGraph(
-        g.edges.filter(F.col("src") != F.col("dst")), g.vertices, _num_nodes=g._num_nodes
+        g.edges.filter(F.col("src") != F.col("dst")), g.vertices,
+        _num_nodes=g._num_nodes,
+        # a filter preserves the parent's partitioning, so the canonical
+        # flag carries over (the cache does not — consumers re-persist)
+        src_layout=g.src_layout,
     )
 
 
@@ -82,7 +89,9 @@ def permute(g: LinkGraph, perm: DataFrame) -> LinkGraph:
     v = g.vertices.join(p.withColumnRenamed("old_id", "id"), "id").select(
         F.col("new_id").alias("id")
     )
-    return LinkGraph(canonical_edge_layout(e), v, _num_nodes=g._num_nodes)
+    return LinkGraph(
+        canonical_edge_layout(e), v, _num_nodes=g._num_nodes, src_layout=True
+    )
 
 
 def invert_permutation(perm: DataFrame) -> DataFrame:
@@ -112,7 +121,7 @@ def map_nodes(g: LinkGraph, mapping: DataFrame, dedup: bool = True) -> LinkGraph
         .select(F.col("new_id").alias("id"))
         .distinct()
     )
-    return LinkGraph(canonical_edge_layout(e), v)
+    return LinkGraph(canonical_edge_layout(e), v, src_layout=True)
 
 
 # ------------------------------------------------------------ arc labels
